@@ -1,0 +1,162 @@
+"""VGG-19 "normalised" encoder (pytorch-AdaIN variant), TPU-native.
+
+Architecture parity with reference `Style_3DGS/AdaIN/net.py:38-92`: a 1x1
+conv (3->3, RGB recentering baked into pretrained weights) followed by the
+VGG-19 conv stack with reflection padding, ReLU, and ceil-mode 2x2 max pools,
+up to relu5_4. AdaIN uses the slice up to relu4_1 (torch Sequential index 31,
+`AdaIN/test.py:39,182`).
+
+TPU-first design:
+* NHWC activations, HWIO weights — channels ride the 128-lane dimension, and
+  every 3x3 conv maps onto the MXU as an implicit im2col matmul.
+* Reflection padding is explicit `jnp.pad` (fused by XLA into the conv's
+  operand window where possible).
+* Optional bfloat16 compute: params are cast per-call; stats-sensitive math
+  (AdaIN) stays fp32 elsewhere.
+
+Params are a flat list of {'w','b'} dicts (one per conv, in network order) —
+a plain pytree, trivially shardable with jax.sharding.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from aip_tpu.ops.image import reflection_pad_2d, max_pool_2x2_ceil
+
+# Layer program: mirrors the torch Sequential structure so pretrained
+# state_dicts (keys '0.weight', '2.weight', ...) can be mapped 1:1.
+# ('conv', in_ch, out_ch, kernel, torch_index) | ('relu',) | ('pool',) | ('pad',)
+VGG_LAYERS = (
+    ("conv", 3, 3, 1, 0),
+    ("pad",),
+    ("conv", 3, 64, 3, 2),
+    ("relu", "relu1_1"),
+    ("pad",),
+    ("conv", 64, 64, 3, 5),
+    ("relu", "relu1_2"),
+    ("pool",),
+    ("pad",),
+    ("conv", 64, 128, 3, 9),
+    ("relu", "relu2_1"),
+    ("pad",),
+    ("conv", 128, 128, 3, 12),
+    ("relu", "relu2_2"),
+    ("pool",),
+    ("pad",),
+    ("conv", 128, 256, 3, 16),
+    ("relu", "relu3_1"),
+    ("pad",),
+    ("conv", 256, 256, 3, 19),
+    ("relu", "relu3_2"),
+    ("pad",),
+    ("conv", 256, 256, 3, 22),
+    ("relu", "relu3_3"),
+    ("pad",),
+    ("conv", 256, 256, 3, 25),
+    ("relu", "relu3_4"),
+    ("pool",),
+    ("pad",),
+    ("conv", 256, 512, 3, 29),
+    ("relu", "relu4_1"),  # last layer used by AdaIN
+    ("pad",),
+    ("conv", 512, 512, 3, 32),
+    ("relu", "relu4_2"),
+    ("pad",),
+    ("conv", 512, 512, 3, 35),
+    ("relu", "relu4_3"),
+    ("pad",),
+    ("conv", 512, 512, 3, 38),
+    ("relu", "relu4_4"),
+    ("pool",),
+    ("pad",),
+    ("conv", 512, 512, 3, 42),
+    ("relu", "relu5_1"),
+    ("pad",),
+    ("conv", 512, 512, 3, 45),
+    ("relu", "relu5_2"),
+    ("pad",),
+    ("conv", 512, 512, 3, 48),
+    ("relu", "relu5_3"),
+    ("pad",),
+    ("conv", 512, 512, 3, 51),
+    ("relu", "relu5_4"),
+)
+
+# Intermediate taps for style losses (reference Net.encode_with_intermediate,
+# `net.py:116-121`).
+STYLE_TAPS = ("relu1_1", "relu2_1", "relu3_1", "relu4_1")
+
+
+def conv_specs(layers=VGG_LAYERS):
+    return [l for l in layers if l[0] == "conv"]
+
+
+def init_vgg_params(key: jax.Array, dtype=jnp.float32):
+    """He-normal random init (fallback when pretrained weights are absent)."""
+    params = []
+    for _, cin, cout, k, _idx in conv_specs():
+        key, wk = jax.random.split(key)
+        fan_in = cin * k * k
+        w = jax.random.normal(wk, (k, k, cin, cout), dtype) * jnp.sqrt(2.0 / fan_in)
+        params.append({"w": w, "b": jnp.zeros((cout,), dtype)})
+    return params
+
+
+def _conv(x, p, compute_dtype):
+    w = p["w"].astype(compute_dtype)
+    b = p["b"].astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=compute_dtype,
+    )
+    return y + b
+
+
+def vgg_encode(
+    params,
+    x: jax.Array,
+    upto: str = "relu4_1",
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    """Run the encoder up to (and including) the named ReLU tap. NHWC in [0,1]."""
+    feats = vgg_encode_with_intermediate(params, x, taps=(upto,), compute_dtype=compute_dtype)
+    return feats[upto]
+
+
+def vgg_encode_with_intermediate(
+    params,
+    x: jax.Array,
+    taps=STYLE_TAPS,
+    compute_dtype=jnp.float32,
+):
+    """Return a dict of the requested ReLU taps. Stops at the deepest tap."""
+    taps = tuple(taps)
+    remaining = set(taps)
+    out = {}
+    ci = 0
+    for layer in VGG_LAYERS:
+        kind = layer[0]
+        if kind == "conv":
+            x = _conv(x, params[ci], compute_dtype)
+            ci += 1
+        elif kind == "pad":
+            x = reflection_pad_2d(x, 1)
+        elif kind == "pool":
+            x = max_pool_2x2_ceil(x)
+        elif kind == "relu":
+            x = jax.nn.relu(x)
+            name = layer[1]
+            if name in remaining:
+                out[name] = x
+                remaining.discard(name)
+                if not remaining:
+                    return out
+    if remaining:
+        raise ValueError(f"unknown taps: {remaining}")
+    return out

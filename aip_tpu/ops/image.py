@@ -1,0 +1,203 @@
+"""Image resize / pad / crop ops with torch-matching semantics.
+
+The reference's pixel pipelines lean on three distinct resize semantics:
+
+* ``torchvision.transforms.Resize(size)`` — PIL antialiased bilinear on the
+  smaller edge (`AdaIN/test.py:16-24` test_transform);
+* ``F.interpolate(mode='bilinear'|'bicubic', align_corners=False)`` — no
+  antialias, half-pixel centers (`AdaIN/test.py:105-111,131-137,222-236`);
+* ``F.interpolate(mode='nearest')`` — torch *legacy* nearest
+  (``src = floor(dst * in/out)``), used for mask resizing (`test.py:226-228`)
+  and decoder upsampling (`net.py` nn.Upsample).
+
+Matching these exactly is the largest source of pixel diffs vs the reference
+(SURVEY.md §7.vi), so each is implemented explicitly here and unit-tested
+against torch-CPU.
+
+TPU design note: bicubic is implemented as two dense matmuls
+(``W_h @ img @ W_w^T``) with trace-time-constant weight matrices — separable
+filtering as matrix products rides the MXU instead of doing 16 gathers per
+output pixel.
+
+All ops take NHWC (or HWC) arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Resize weight matrices (computed host-side at trace time; shapes static).
+# ---------------------------------------------------------------------------
+
+def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys cubic convolution kernel; a=-0.75 matches torch's bicubic."""
+    ax = np.abs(x)
+    ax2 = ax * ax
+    ax3 = ax2 * ax
+    w = np.where(
+        ax <= 1.0,
+        (a + 2.0) * ax3 - (a + 3.0) * ax2 + 1.0,
+        np.where(ax < 2.0, a * ax3 - 5.0 * a * ax2 + 8.0 * a * ax - 4.0 * a, 0.0),
+    )
+    return w
+
+
+@functools.lru_cache(maxsize=256)
+def _bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """Dense [n_out, n_in] resampling matrix for align_corners=False bicubic."""
+    scale = n_in / n_out
+    i = np.arange(n_out, dtype=np.float64)
+    x = (i + 0.5) * scale - 0.5
+    x0 = np.floor(x)
+    t = x - x0
+    mat = np.zeros((n_out, n_in), dtype=np.float32)
+    for k in range(-1, 3):
+        w = _cubic_kernel(t - k)
+        idx = np.clip(x0.astype(np.int64) + k, 0, n_in - 1)
+        np.add.at(mat, (np.arange(n_out), idx), w.astype(np.float32))
+    return mat
+
+
+@functools.lru_cache(maxsize=256)
+def _bilinear_matrix(n_in: int, n_out: int, antialias: bool) -> np.ndarray:
+    """Dense [n_out, n_in] matrix for align_corners=False (anti-aliased) linear."""
+    scale = n_in / n_out
+    support = max(scale, 1.0) if antialias else 1.0
+    i = np.arange(n_out, dtype=np.float64)
+    x = (i + 0.5) * scale - 0.5
+    lo = np.floor(x - support).astype(np.int64)
+    taps = int(np.ceil(2 * support)) + 2
+    mat = np.zeros((n_out, n_in), dtype=np.float64)
+    for k in range(taps):
+        idx = lo + k
+        d = (x - idx) / (support if antialias else 1.0)
+        w = np.maximum(0.0, 1.0 - np.abs(d))
+        cidx = np.clip(idx, 0, n_in - 1)
+        np.add.at(mat, (np.arange(n_out), cidx), w)
+    mat /= mat.sum(axis=1, keepdims=True)
+    return mat.astype(np.float32)
+
+
+def _apply_separable(x: jax.Array, mh: np.ndarray, mw: np.ndarray) -> jax.Array:
+    """Apply per-axis resize matrices to NHWC via two einsum matmuls."""
+    wh = jnp.asarray(mh)
+    ww = jnp.asarray(mw)
+    orig_dtype = x.dtype
+    y = x.astype(jnp.float32)
+    # HIGHEST precision: resize must be bit-accurate-ish vs the reference even
+    # on TPU, where fp32 matmuls otherwise default to bf16-passes on the MXU.
+    y = jnp.einsum("oh,nhwc->nowc", wh, y, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("ow,nhwc->nhoc", ww, y, precision=jax.lax.Precision.HIGHEST)
+    return y.astype(orig_dtype)
+
+
+def _ensure_nhwc(x: jax.Array):
+    if x.ndim == 3:
+        return x[None], True
+    return x, False
+
+
+def resize_bicubic(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """Bicubic resize, torch ``F.interpolate(mode='bicubic',
+    align_corners=False)`` parity (a=-0.75, border-clamped). NHWC or HWC."""
+    x, squeeze = _ensure_nhwc(x)
+    h, w = x.shape[1], x.shape[2]
+    out = _apply_separable(x, _bicubic_matrix(h, size[0]), _bicubic_matrix(w, size[1]))
+    return out[0] if squeeze else out
+
+
+def resize_bilinear(x: jax.Array, size: tuple[int, int], antialias: bool = False) -> jax.Array:
+    """Bilinear resize, ``F.interpolate(mode='bilinear', align_corners=False)``
+    parity (antialias=False) or torchvision/PIL ``Resize`` parity
+    (antialias=True). NHWC or HWC."""
+    x, squeeze = _ensure_nhwc(x)
+    h, w = x.shape[1], x.shape[2]
+    out = _apply_separable(
+        x,
+        _bilinear_matrix(h, size[0], antialias),
+        _bilinear_matrix(w, size[1], antialias),
+    )
+    return out[0] if squeeze else out
+
+
+def resize_nearest(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """Nearest resize with torch *legacy* index rule ``src = floor(dst*in/out)``
+    (``F.interpolate(mode='nearest')`` / ``nn.Upsample(mode='nearest')``)."""
+    x, squeeze = _ensure_nhwc(x)
+    h, w = x.shape[1], x.shape[2]
+    oh, ow = size
+    ih = np.minimum((np.arange(oh) * (h / oh)).astype(np.int64), h - 1)
+    iw = np.minimum((np.arange(ow) * (w / ow)).astype(np.int64), w - 1)
+    out = x[:, jnp.asarray(ih)][:, :, jnp.asarray(iw)]
+    return out[0] if squeeze else out
+
+
+def upsample_nearest_2x(x: jax.Array) -> jax.Array:
+    """2x nearest upsample (decoder hot path). NHWC.
+
+    Equivalent to ``nn.Upsample(scale_factor=2, mode='nearest')`` but written
+    as reshape/broadcast so XLA lowers it to a cheap layout op instead of a
+    gather.
+    """
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+def resize_smaller_edge(x: jax.Array, size: int) -> jax.Array:
+    """PIL/torchvision ``transforms.Resize(size)``: scale so the smaller edge
+    equals ``size``, preserving aspect ratio, antialiased bilinear."""
+    x, squeeze = _ensure_nhwc(x)
+    h, w = x.shape[1], x.shape[2]
+    if h <= w:
+        oh, ow = size, max(1, int(round(size * w / h)))
+    else:
+        oh, ow = max(1, int(round(size * h / w))), size
+    out = resize_bilinear(x, (oh, ow), antialias=True)
+    return out[0] if squeeze else out
+
+
+def center_crop(x: jax.Array, size: int) -> jax.Array:
+    """torchvision ``transforms.CenterCrop(size)`` on NHWC/HWC."""
+    x, squeeze = _ensure_nhwc(x)
+    h, w = x.shape[1], x.shape[2]
+    top = max(0, (h - size) // 2)
+    left = max(0, (w - size) // 2)
+    out = x[:, top : top + size, left : left + size, :]
+    return out[0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# Padding / pooling
+# ---------------------------------------------------------------------------
+
+def reflection_pad_2d(x: jax.Array, pad: int = 1) -> jax.Array:
+    """ReflectionPad2d parity on NHWC (reflect without repeating the edge)."""
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
+def max_pool_2x2_ceil(x: jax.Array) -> jax.Array:
+    """MaxPool2d(kernel=2, stride=2, ceil_mode=True) parity on NHWC."""
+    n, h, w, c = x.shape
+    ph, pw = h % 2, w % 2
+    if ph or pw:
+        x = jnp.pad(
+            x,
+            ((0, 0), (0, ph), (0, pw), (0, 0)),
+            mode="constant",
+            constant_values=-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        )
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
