@@ -42,8 +42,8 @@ def _is_real_checkpoint(path: Path) -> bool:
 def convert_torch_sequential(state_dict, torch_indices) -> list[dict]:
     """Map a torch Sequential state_dict to our conv param list.
 
-    ``torch_indices`` is the ordered list of Sequential indices that hold
-    convs (from VGG_LAYERS / DECODER_LAYERS specs).
+    ``torch_indices`` is the ordered list of key stems that hold convs —
+    Sequential indices (``'0'``) or dotted paths (``'features.0'``).
     """
     params = []
     for idx in torch_indices:

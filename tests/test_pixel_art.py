@@ -1,0 +1,107 @@
+"""Depixelizer + pixelize pipeline tests."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from aip_tpu.pipelines.pixel_art import (
+    similarity_edges,
+    colors_differ,
+    _Graph,
+    resolve_diagonals,
+    voronoi_cells,
+    prune_valency2,
+    smooth_cells,
+    depixelize,
+    vectorization,
+    pixelize,
+    load_lospec_palettes,
+    hex_palette_to_rgb,
+)
+
+
+def _two_tone_sprite():
+    """8x8 sprite: red diagonal blob on blue background."""
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[...] = (20, 30, 200)
+    for i in range(8):
+        for j in range(8):
+            if abs(i - j) <= 1:
+                img[i, j] = (220, 40, 40)
+    return img
+
+
+def test_colors_differ_thresholds():
+    assert not colors_differ((100, 100, 100), (148, 107, 106))  # all within
+    assert colors_differ((100, 100, 100), (149, 100, 100))  # y over
+    assert colors_differ((100, 100, 100), (100, 108, 100))  # u over
+    assert colors_differ((100, 100, 100), (100, 100, 107))  # v over
+
+
+def test_similarity_edges_uniform_image():
+    yuv = np.full((4, 4, 3), 128, np.uint8)
+    e = similarity_edges(yuv)
+    assert e["r"].all() and e["d"].all() and e["dr"].all() and e["dl"].all()
+
+
+def test_resolve_diagonals_removes_crossings():
+    img = Image.fromarray(_two_tone_sprite())
+    yuv = np.asarray(img.convert("YCbCr"))
+    e = similarity_edges(yuv)
+    g = _Graph(e, 8, 8)
+    resolve_diagonals(g, 8, 8)
+    # After resolution no 2x2 block may retain both diagonals.
+    for i in range(7):
+        for j in range(7):
+            both = g.has_edge((i, j), (i + 1, j + 1)) and g.has_edge((i + 1, j), (i, j + 1))
+            assert not both, (i, j)
+
+
+def test_voronoi_cells_cover_plane():
+    img = Image.fromarray(_two_tone_sprite())
+    yuv = np.asarray(img.convert("YCbCr"))
+    e = similarity_edges(yuv)
+    g = _Graph(e, 8, 8)
+    resolve_diagonals(g, 8, 8)
+    cells = voronoi_cells(g, 8, 8)
+    assert len(cells) == 64
+    for verts in cells.values():
+        assert len(verts) >= 4
+    cells = prune_valency2(cells, 8, 8)
+    cells = smooth_cells(cells, yuv, num_iterations=2)
+    for verts in cells.values():
+        assert len(verts) >= 3
+
+
+def test_depixelize_end_to_end(tmp_path):
+    sprite = _two_tone_sprite()
+    out = depixelize(sprite, scale=10)
+    assert out.shape == (80, 80, 3)
+    # Output should contain both dominant colors (roughly).
+    reds = (out[..., 0] > 150) & (out[..., 2] < 120)
+    blues = (out[..., 2] > 150) & (out[..., 0] < 120)
+    assert reds.sum() > 100 and blues.sum() > 100
+
+    p = tmp_path / "sprite.png"
+    Image.fromarray(sprite).save(p)
+    out_path = vectorization(str(p), str(tmp_path / "vec"), scale=4)
+    assert Image.open(out_path).size == (32, 32)
+
+
+def test_pixelize_with_palette():
+    img = (np.random.default_rng(0).random((16, 16, 3)) * 255).astype(np.uint8)
+    palettes = load_lospec_palettes()
+    pal = hex_palette_to_rgb(palettes["pico-8"])
+    for method in ("RGB", "LAB", "Floyd-Steinberg", "kd-tree"):
+        out = pixelize(img, downsampling_factor=2, palette=pal, method=method)
+        assert out.shape == (8, 8, 3)
+        pal_set = {tuple(c) for c in pal}
+        if method != "Floyd-Steinberg":
+            assert all(tuple(px) in pal_set for px in out.reshape(-1, 3))
+
+
+def test_pixelize_grayscale_brightness():
+    img = (np.random.default_rng(1).random((8, 8, 3)) * 255).astype(np.uint8)
+    out = pixelize(img, grayscale=True, brightness=0.2)
+    assert out.shape == (8, 8, 3)
+    assert (out[..., 0] == out[..., 1]).mean() > 0.9  # grayscale-ish
