@@ -1,0 +1,149 @@
+"""Neural color field: multires hash grid + style-conditioned MLP -> SH.
+
+TPU-native replacement for the tiny-cuda-nn pair in the reference
+(`scene/gaussian_model.py:74-104`): a HashGrid encoding (16 levels x 2
+features, 2^19 table, base res 16, per-level scale 1.447) of the contracted
+position, concatenated with a normalized style embedding (Linear 512 ->
+style_dim, renderer `gaussian_renderer/__init__.py:91-104`), through a
+64-wide 2-hidden-layer ReLU MLP to 48 outputs = deg-3 SH coefficients
+[16, 3] per Gaussian.
+
+Implementation: per-level trilinear interpolation over a hashed table —
+8 gathers + lerp per level, batched over N Gaussians; the MLP is three
+matmuls. Hash function is the standard spatial hash (primes 1,
+2654435761, 805459861); we train from scratch so only self-consistency
+matters (SURVEY.md §7.iii).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+N_LEVELS = 16
+N_FEATURES = 2
+LOG2_HASHMAP = 19
+BASE_RES = 16
+PER_LEVEL_SCALE = 1.447
+
+_PRIMES = (1, 2654435761, 805459861)
+
+
+class ColorFieldParams(NamedTuple):
+    hash_tables: jax.Array  # [L, T, F]
+    mlp_w1: jax.Array
+    mlp_b1: jax.Array
+    mlp_w2: jax.Array
+    mlp_b2: jax.Array
+    mlp_w3: jax.Array
+    mlp_b3: jax.Array
+    style_w: jax.Array | None  # [512, style_dim]
+    style_b: jax.Array | None
+
+
+def level_resolutions(n_levels: int = N_LEVELS):
+    return [int(BASE_RES * PER_LEVEL_SCALE**l) for l in range(n_levels)]
+
+
+def init_colorfield(key: jax.Array, style_dim: int | None = 256) -> ColorFieldParams:
+    t = 2**LOG2_HASHMAP
+    keys = jax.random.split(key, 8)
+    tables = jax.random.uniform(keys[0], (N_LEVELS, t, N_FEATURES),
+                                minval=-1e-4, maxval=1e-4)
+    n_enc = N_LEVELS * N_FEATURES
+    n_in = n_enc + (style_dim or 0)
+
+    def lin(k, i, o):
+        return jax.random.normal(k, (i, o)) * jnp.sqrt(2.0 / i)
+
+    style_w = lin(keys[5], 512, style_dim) if style_dim else None
+    style_b = jnp.zeros((style_dim,)) if style_dim else None
+    return ColorFieldParams(
+        hash_tables=tables,
+        mlp_w1=lin(keys[1], n_in, 64), mlp_b1=jnp.zeros((64,)),
+        mlp_w2=lin(keys[2], 64, 64), mlp_b2=jnp.zeros((64,)),
+        mlp_w3=lin(keys[3], 64, 48), mlp_b3=jnp.zeros((48,)),
+        style_w=style_w, style_b=style_b,
+    )
+
+
+def contract_to_unisphere(x: jax.Array, aabb=(-1.0, -1.0, -1.0, 1.0, 1.0, 1.0),
+                          eps: float = 1e-6) -> jax.Array:
+    """Mip-NeRF-360 scene contraction (gaussian_model.py:662-685 parity).
+
+    Maps R^3 into [0, 1]^3: inside the aabb linearly, outside by 2-1/|x|.
+    """
+    aabb = jnp.asarray(aabb, x.dtype)
+    lo, hi = aabb[:3], aabb[3:]
+    y = (x - lo) / (hi - lo) * 2.0 - 1.0
+    mag = jnp.linalg.norm(y, axis=-1, keepdims=True)
+    mag = jnp.maximum(mag, eps)
+    contracted = (2.0 - 1.0 / mag) * (y / mag)
+    y = jnp.where(mag > 1.0, contracted, y)
+    return y / 4.0 + 0.5
+
+
+def _hash_corner(ix: jax.Array, iy: jax.Array, iz: jax.Array) -> jax.Array:
+    h = (
+        ix.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+        ^ iy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1])
+        ^ iz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2])
+    )
+    return (h & jnp.uint32(2**LOG2_HASHMAP - 1)).astype(jnp.int32)
+
+
+def hash_encode(tables: jax.Array, x01: jax.Array) -> jax.Array:
+    """[N, 3] positions in [0,1] -> [N, L*F] multires features."""
+    feats = []
+    for lvl, res in enumerate(level_resolutions(tables.shape[0])):
+        pos = x01 * res
+        p0 = jnp.floor(pos)
+        frac = pos - p0
+        p0i = p0.astype(jnp.int32)
+        level_feats = 0.0
+        for corner in range(8):
+            ox, oy, oz = corner & 1, (corner >> 1) & 1, (corner >> 2) & 1
+            idx = _hash_corner(p0i[:, 0] + ox, p0i[:, 1] + oy, p0i[:, 2] + oz)
+            wx = frac[:, 0] if ox else (1.0 - frac[:, 0])
+            wy = frac[:, 1] if oy else (1.0 - frac[:, 1])
+            wz = frac[:, 2] if oz else (1.0 - frac[:, 2])
+            weight = (wx * wy * wz)[:, None]
+            level_feats = level_feats + weight * tables[lvl][idx]
+        feats.append(level_feats)
+    return jnp.concatenate(feats, axis=1)
+
+
+def style_embedding(params: ColorFieldParams, style_f: jax.Array) -> jax.Array:
+    """Pooled VGG style feature [1, 512] -> normalized [1, style_dim]
+    (renderer :91-96: Linear then L2-normalize)."""
+    e = style_f @ params.style_w + params.style_b
+    return e / jnp.linalg.norm(e, axis=1, keepdims=True)
+
+
+def predict_sh(params: ColorFieldParams, xyz: jax.Array,
+               style_f: jax.Array | None = None,
+               precomputed_enc: jax.Array | None = None) -> jax.Array:
+    """[N, 3] world positions (+ optional [1, 512] style) -> [N, 16, 3] SH.
+
+    Mirrors the renderer wiring (:91-104): contract -> hash encode ->
+    concat(normalized style embedding) -> MLP -> 48 = 16x3 SH coefficients.
+    ``precomputed_enc`` skips the encoding (gaussian_model.precompute
+    parity, :653-656).
+    """
+    if precomputed_enc is None:
+        x01 = contract_to_unisphere(jax.lax.stop_gradient(xyz))
+        enc = hash_encode(params.hash_tables, x01)
+    else:
+        enc = precomputed_enc
+    if params.style_w is not None and style_f is not None:
+        emb = style_embedding(params, style_f)
+        enc = jnp.concatenate(
+            [enc, jnp.broadcast_to(emb, (enc.shape[0], emb.shape[1]))], axis=1
+        )
+    h = jax.nn.relu(enc @ params.mlp_w1 + params.mlp_b1)
+    h = jax.nn.relu(h @ params.mlp_w2 + params.mlp_b2)
+    out = h @ params.mlp_w3 + params.mlp_b3
+    return out.reshape(-1, 16, 3)

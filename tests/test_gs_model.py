@@ -1,0 +1,186 @@
+"""Color field / gaussian state / scene IO tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aip_tpu.gs.colorfield import (
+    init_colorfield,
+    contract_to_unisphere,
+    hash_encode,
+    predict_sh,
+    style_embedding,
+)
+from aip_tpu.gs import gaussians as G
+
+
+def test_contract_identity_inside():
+    x = jnp.asarray([[0.0, 0.0, 0.0], [0.5, -0.5, 0.25]])
+    y = np.asarray(contract_to_unisphere(x))
+    # Inside the unit ball the map is linear: y = x/4 + 0.5.
+    np.testing.assert_allclose(y, np.asarray(x) / 4 + 0.5, atol=1e-6)
+
+
+def test_contract_bounded_outside():
+    x = jnp.asarray([[100.0, 0.0, 0.0], [0.0, -1000.0, 0.0]])
+    y = np.asarray(contract_to_unisphere(x))
+    assert (y >= 0).all() and (y <= 1).all()
+    # Far points approach the 2-sphere boundary: |contract| -> 2 => y -> [0,1] edge.
+    assert abs(y[0, 0] - 1.0) < 0.01
+
+
+def test_hash_encode_continuity(rng):
+    params = init_colorfield(jax.random.PRNGKey(0), style_dim=None)
+    x = jnp.asarray(rng.random((16, 3)).astype(np.float32)) * 0.5 + 0.25
+    e1 = hash_encode(params.hash_tables, x)
+    e2 = hash_encode(params.hash_tables, x + 1e-5)
+    assert e1.shape == (16, 32)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-2)
+
+
+def test_predict_sh_shapes_and_style_conditioning(rng):
+    params = init_colorfield(jax.random.PRNGKey(0), style_dim=256)
+    xyz = jnp.asarray(rng.standard_normal((32, 3)).astype(np.float32))
+    s1 = jnp.asarray(rng.standard_normal((1, 512)).astype(np.float32))
+    s2 = jnp.asarray(rng.standard_normal((1, 512)).astype(np.float32))
+    sh1 = predict_sh(params, xyz, s1)
+    sh2 = predict_sh(params, xyz, s2)
+    assert sh1.shape == (32, 16, 3)
+    assert not np.allclose(np.asarray(sh1), np.asarray(sh2))
+    emb = style_embedding(params, s1)
+    np.testing.assert_allclose(float(jnp.linalg.norm(emb)), 1.0, atol=1e-5)
+
+
+def test_create_from_pcd_and_activations(rng):
+    pts = jnp.asarray(rng.standard_normal((50, 3)).astype(np.float32))
+    cols = jnp.asarray(rng.random((50, 3)).astype(np.float32))
+    state, sh_dc = G.create_from_pcd(pts, cols, capacity=64)
+    assert int(state.n_active) == 50
+    assert state.capacity == 64
+    op = np.asarray(G.get_opacity(state))[:50]
+    np.testing.assert_allclose(op, 0.1, atol=1e-5)
+    rot = np.asarray(G.get_rotation(state))
+    np.testing.assert_allclose(np.linalg.norm(rot, axis=1), 1.0, atol=1e-5)
+
+
+def test_clone_appends_into_free_slots(rng):
+    pts = jnp.asarray(rng.standard_normal((10, 3)).astype(np.float32))
+    cols = jnp.asarray(rng.random((10, 3)).astype(np.float32))
+    state, _ = G.create_from_pcd(pts, cols, capacity=32)
+    # Force high gradient stats on 3 gaussians, tiny scales -> clone path.
+    state = state._replace(
+        xyz_grad_accum=state.xyz_grad_accum.at[:3].set(10.0),
+        denom=state.denom.at[:3].set(1.0),
+        scaling=state.scaling.at[:, :].set(-5.0),
+    )
+    new_state, slots = G.densify_and_clone(state, 0.5, 0.01, 10.0)
+    assert int(new_state.n_active) == 13
+    assert int(slots.sum()) == 3
+
+
+def test_split_replaces_selected(rng):
+    pts = jnp.asarray(rng.standard_normal((10, 3)).astype(np.float32))
+    cols = jnp.asarray(rng.random((10, 3)).astype(np.float32))
+    state, _ = G.create_from_pcd(pts, cols, capacity=64)
+    state = state._replace(
+        xyz_grad_accum=state.xyz_grad_accum.at[:2].set(10.0),
+        denom=state.denom.at[:2].set(1.0),
+        scaling=state.scaling.at[:, :].set(2.0),  # big -> split path
+    )
+    new_state, appended = G.densify_and_split(state, jax.random.PRNGKey(0), 0.5, 0.01, 1.0)
+    # 2 originals pruned, 2*2 appended.
+    assert int(new_state.n_active) == 10 - 2 + 4
+    # New scales shrunk by 1.6 in log space.
+    app_idx = np.nonzero(np.asarray(appended))[0]
+    np.testing.assert_allclose(
+        np.asarray(new_state.scaling)[app_idx], 2.0 - np.log(1.6), atol=1e-5
+    )
+
+
+def test_capacity_overflow_drops(rng):
+    pts = jnp.asarray(rng.standard_normal((30, 3)).astype(np.float32))
+    cols = jnp.asarray(rng.random((30, 3)).astype(np.float32))
+    state, _ = G.create_from_pcd(pts, cols, capacity=32)
+    state = state._replace(
+        xyz_grad_accum=state.xyz_grad_accum.at[:30].set(10.0),
+        denom=state.denom.at[:30].set(1.0),
+        scaling=state.scaling.at[:, :].set(-5.0),
+    )
+    new_state, _ = G.densify_and_clone(state, 0.5, 0.01, 10.0)
+    assert int(new_state.n_active) == 32  # clamped at capacity
+
+
+def test_prune_and_ste_mask(rng):
+    pts = jnp.asarray(rng.standard_normal((10, 3)).astype(np.float32))
+    cols = jnp.asarray(rng.random((10, 3)).astype(np.float32))
+    state, _ = G.create_from_pcd(pts, cols, capacity=16)
+    state = state._replace(mask=state.mask.at[0].set(-10.0))  # gate off
+    m = np.asarray(G.ste_mask(state))
+    assert m[0, 0] == 0.0 and m[1, 0] == 1.0
+    pruned = G.mask_prune(state)
+    assert int(pruned.n_active) == 9
+    state2 = G.reset_opacity(state)
+    assert np.asarray(G.get_opacity(state2)).max() <= 0.0101
+
+
+def test_scene_io_blender_roundtrip(tmp_path, rng):
+    """Minimal Blender-format scene: transforms + white png frames."""
+    import json
+    from PIL import Image
+
+    from aip_tpu.gs.dataset import Scene, write_ply, read_ply
+
+    (tmp_path / "images").mkdir()
+    frames = []
+    for i in range(3):
+        angle = i * 2 * np.pi / 3
+        c2w = np.eye(4)
+        c2w[0, 3] = 2 * np.sin(angle)
+        c2w[2, 3] = 2 * np.cos(angle)
+        frames.append({"file_path": f"./images/r_{i}", "transform_matrix": c2w.tolist()})
+        Image.fromarray((rng.random((20, 24, 4)) * 255).astype(np.uint8)).save(
+            tmp_path / "images" / f"r_{i}.png"
+        )
+    with open(tmp_path / "transforms_train.json", "w") as f:
+        json.dump({"camera_angle_x": 0.9, "frames": frames}, f)
+
+    scene = Scene(str(tmp_path), shuffle=False)
+    cams = scene.getTrainCameras()
+    assert len(cams) == 3
+    assert cams[0].image.shape == (20, 24, 3)
+    assert scene.cameras_extent > 0
+    assert scene.point_cloud.points.shape[0] == 100_000
+
+    # PLY roundtrip.
+    xyz = rng.standard_normal((17, 3)).astype(np.float32)
+    rgb = (rng.random((17, 3)) * 255).astype(np.uint8)
+    write_ply(tmp_path / "t.ply", xyz, rgb)
+    d = read_ply(tmp_path / "t.ply")
+    np.testing.assert_allclose(np.stack([d["x"], d["y"], d["z"]], 1), xyz, rtol=1e-6)
+    np.testing.assert_array_equal(np.stack([d["red"], d["green"], d["blue"]], 1), rgb)
+
+
+def test_colmap_text_parsing(tmp_path):
+    from aip_tpu.gs import colmap
+
+    sparse = tmp_path
+    (sparse / "cameras.txt").write_text(
+        "# comment\n1 PINHOLE 640 480 500.0 500.0 320.0 240.0\n"
+    )
+    (sparse / "images.txt").write_text(
+        "1 1 0 0 0 0.5 0.2 1.5 1 img0.png\n"
+        "10.0 20.0 1 30.0 40.0 2\n"
+    )
+    (sparse / "points3D.txt").write_text(
+        "1 0.1 0.2 0.3 255 128 0 0.5 1 0 2 1\n"
+    )
+    cams = colmap.read_cameras_text(sparse / "cameras.txt")
+    assert cams[1].model == "PINHOLE" and cams[1].width == 640
+    imgs = colmap.read_images_text(sparse / "images.txt")
+    assert imgs[1].name == "img0.png"
+    np.testing.assert_allclose(imgs[1].tvec, [0.5, 0.2, 1.5])
+    R = colmap.qvec2rotmat(np.array([1.0, 0, 0, 0]))
+    np.testing.assert_allclose(R, np.eye(3))
+    xyz, rgb, err = colmap.read_points3d_text(sparse / "points3D.txt")
+    np.testing.assert_allclose(xyz[0], [0.1, 0.2, 0.3])
+    assert tuple(rgb[0]) == (255, 128, 0)

@@ -1,0 +1,164 @@
+"""Rasterizer tests: projection geometry, brute-force compositing oracle,
+gradient flow."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aip_tpu.gs.cameras import Camera
+from aip_tpu.gs.rasterizer import (
+    RasterSettings,
+    TILE,
+    project_gaussians,
+    select_per_tile,
+    composite_tiles,
+    rasterize,
+)
+
+
+def _camera(w=64, h=64, dist=4.0):
+    img = np.zeros((h, w, 3), np.float32)
+    return Camera(
+        colmap_id=0, R=np.eye(3), T=np.array([0.0, 0.0, dist]),
+        FoVx=np.pi / 3, FoVy=np.pi / 3, image=img, image_name="t", uid=0,
+    )
+
+
+def _settings(cam, k=64, chunk=64):
+    import math
+
+    return RasterSettings(
+        image_height=cam.image_height, image_width=cam.image_width,
+        tanfovx=math.tan(cam.FoVx * 0.5), tanfovy=math.tan(cam.FoVy * 0.5),
+        max_per_tile=k, chunk=chunk,
+    )
+
+
+def _scene(rng, n=20):
+    means = (rng.random((n, 3)) * 2 - 1).astype(np.float32)
+    scales = (rng.random((n, 3)) * 0.15 + 0.05).astype(np.float32)
+    quats = rng.standard_normal((n, 4)).astype(np.float32)
+    opac = (rng.random(n) * 0.8 + 0.1).astype(np.float32)
+    colors = rng.random((n, 3)).astype(np.float32)
+    return means, scales, quats, opac, colors
+
+
+def test_projection_center_and_depth():
+    cam = _camera()
+    s = _settings(cam)
+    means = jnp.asarray([[0.0, 0.0, 0.0]])
+    scales = jnp.asarray([[0.1, 0.1, 0.1]])
+    quats = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])
+    m2d, depth, conic, radius, valid = project_gaussians(
+        means, scales, quats,
+        jnp.asarray(cam.world_view_transform), jnp.asarray(cam.full_proj_transform), s,
+    )
+    # A gaussian at the origin viewed from (0,0,-4) projects to image center.
+    np.testing.assert_allclose(np.asarray(m2d[0]), [31.5, 31.5], atol=0.5)
+    assert abs(float(depth[0]) - 4.0) < 1e-5
+    assert bool(valid[0]) and float(radius[0]) > 0
+
+
+def test_behind_camera_culled():
+    cam = _camera(dist=4.0)
+    s = _settings(cam)
+    means = jnp.asarray([[0.0, 0.0, -10.0]])  # behind the camera
+    m2d, depth, conic, radius, valid = project_gaussians(
+        means, jnp.full((1, 3), 0.1), jnp.asarray([[1.0, 0, 0, 0]]),
+        jnp.asarray(cam.world_view_transform), jnp.asarray(cam.full_proj_transform), s,
+    )
+    assert not bool(valid[0])
+    assert float(radius[0]) == 0.0
+
+
+def _oracle_composite(m2d, depths, conics, radii, valid, colors, opac, bg, w, h):
+    """Per-pixel brute force with the same tile-inclusion rule."""
+    order = np.argsort(depths)
+    img = np.zeros((h, w, 3), np.float32)
+    for py in range(h):
+        for px in range(w):
+            tx0 = (px // TILE) * TILE
+            ty0 = (py // TILE) * TILE
+            t = 1.0
+            c = np.zeros(3)
+            for gi in order:
+                if not valid[gi] or radii[gi] <= 0:
+                    continue
+                mx, my = m2d[gi]
+                r = radii[gi]
+                if not (mx + r >= tx0 and mx - r < tx0 + TILE and my + r >= ty0 and my - r < ty0 + TILE):
+                    continue
+                dx, dy = px - mx, py - my
+                power = -0.5 * (conics[gi, 0] * dx * dx + conics[gi, 2] * dy * dy) - conics[gi, 1] * dx * dy
+                if power > 0:
+                    power = 0.0
+                alpha = min(0.99, opac[gi] * np.exp(power))
+                if alpha < 1.0 / 255.0:
+                    continue
+                if t <= 1e-4:
+                    break
+                c += alpha * t * colors[gi]
+                t *= 1.0 - alpha
+            img[py, px] = c + t * bg
+    return img
+
+
+def test_rasterize_matches_bruteforce(rng):
+    cam = _camera(w=32, h=32)
+    s = _settings(cam, k=32, chunk=16)
+    means, scales, quats, opac, colors = _scene(rng, n=12)
+    vm = jnp.asarray(cam.world_view_transform)
+    pm = jnp.asarray(cam.full_proj_transform)
+    bg = jnp.zeros(3)
+
+    img, radii = rasterize(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(opac), jnp.asarray(colors), vm, pm, bg, s,
+    )
+
+    m2d, depth, conic, rad, valid = project_gaussians(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats), vm, pm, s)
+    expect = _oracle_composite(
+        np.asarray(m2d), np.asarray(depth), np.asarray(conic), np.asarray(rad),
+        np.asarray(valid), colors, opac, np.zeros(3), 32, 32,
+    )
+    np.testing.assert_allclose(np.asarray(img), expect, atol=2e-3)
+
+
+def test_background_shows_through(rng):
+    cam = _camera(w=32, h=32)
+    s = _settings(cam, k=8, chunk=8)
+    # One tiny gaussian in a corner; most pixels should be pure background.
+    img, _ = rasterize(
+        jnp.asarray([[0.9, 0.9, 0.0]]), jnp.full((1, 3), 0.02),
+        jnp.asarray([[1.0, 0, 0, 0]]), jnp.asarray([0.9]),
+        jnp.asarray([[1.0, 0.0, 0.0]]),
+        jnp.asarray(cam.world_view_transform), jnp.asarray(cam.full_proj_transform),
+        jnp.asarray([0.0, 0.0, 1.0]), s,
+    )
+    img = np.asarray(img)
+    # Center pixel: background blue.
+    np.testing.assert_allclose(img[16, 16], [0, 0, 1], atol=1e-3)
+
+
+def test_gradients_flow(rng):
+    cam = _camera(w=32, h=32)
+    s = _settings(cam, k=16, chunk=16)
+    means, scales, quats, opac, colors = _scene(rng, n=6)
+    vm = jnp.asarray(cam.world_view_transform)
+    pm = jnp.asarray(cam.full_proj_transform)
+
+    def loss(means3d, offs):
+        img, _ = rasterize(
+            means3d, jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(colors), vm, pm, jnp.zeros(3), s,
+            screenspace_offset=offs,
+        )
+        return jnp.mean(img)
+
+    g_xyz, g_off = jax.grad(loss, argnums=(0, 1))(
+        jnp.asarray(means), jnp.zeros((6, 2)))
+    assert np.isfinite(np.asarray(g_xyz)).all()
+    assert np.isfinite(np.asarray(g_off)).all()
+    assert np.abs(np.asarray(g_xyz)).max() > 0
+    assert np.abs(np.asarray(g_off)).max() > 0
