@@ -1,0 +1,31 @@
+"""Stylized 3DGS train+render CLI (reference `run_3dgs.py:18-44` parity)."""
+
+import argparse
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train and render a stylized 3DGS scene.")
+    parser.add_argument("--content", type=str, required=True,
+                        help="Scene directory (COLMAP sparse/ or transforms_train.json).")
+    parser.add_argument("--style", type=str, required=True, help="Path to the style image.")
+    parser.add_argument("--output", type=str, default="output", help="Output directory.")
+    parser.add_argument("--use_depth", action="store_true",
+                        help="Enable depth-aware stylization of the guide images.")
+    parser.add_argument("--iterations", type=int, default=15000)
+    parser.add_argument("--freeze_iters", type=int, default=7000)
+    args = parser.parse_args(argv)
+
+    from aip_tpu.gs.pipeline import run_3dgs_training, run_3dgs_rendering
+
+    model_path = run_3dgs_training(
+        args.content, args.style, model_path=args.output,
+        iterations=args.iterations, freeze_iters=args.freeze_iters,
+        use_depth=args.use_depth, depth_offset=0.5, depth_prominence=20,
+    )
+    gif = run_3dgs_rendering(args.style, model_path)
+    print(f"Render GIF: {gif}")
+    return gif
+
+
+if __name__ == "__main__":
+    main()

@@ -48,8 +48,9 @@ def level_resolutions(n_levels: int = N_LEVELS):
     return [int(BASE_RES * PER_LEVEL_SCALE**l) for l in range(n_levels)]
 
 
-def init_colorfield(key: jax.Array, style_dim: int | None = 256) -> ColorFieldParams:
-    t = 2**LOG2_HASHMAP
+def init_colorfield(key: jax.Array, style_dim: int | None = 256,
+                    log2_hashmap: int = LOG2_HASHMAP) -> ColorFieldParams:
+    t = 2**log2_hashmap
     keys = jax.random.split(key, 8)
     tables = jax.random.uniform(keys[0], (N_LEVELS, t, N_FEATURES),
                                 minval=-1e-4, maxval=1e-4)
@@ -86,13 +87,13 @@ def contract_to_unisphere(x: jax.Array, aabb=(-1.0, -1.0, -1.0, 1.0, 1.0, 1.0),
     return y / 4.0 + 0.5
 
 
-def _hash_corner(ix: jax.Array, iy: jax.Array, iz: jax.Array) -> jax.Array:
+def _hash_corner(ix: jax.Array, iy: jax.Array, iz: jax.Array, table_size: int) -> jax.Array:
     h = (
         ix.astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
         ^ iy.astype(jnp.uint32) * jnp.uint32(_PRIMES[1])
         ^ iz.astype(jnp.uint32) * jnp.uint32(_PRIMES[2])
     )
-    return (h & jnp.uint32(2**LOG2_HASHMAP - 1)).astype(jnp.int32)
+    return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
 
 
 def hash_encode(tables: jax.Array, x01: jax.Array) -> jax.Array:
@@ -106,7 +107,8 @@ def hash_encode(tables: jax.Array, x01: jax.Array) -> jax.Array:
         level_feats = 0.0
         for corner in range(8):
             ox, oy, oz = corner & 1, (corner >> 1) & 1, (corner >> 2) & 1
-            idx = _hash_corner(p0i[:, 0] + ox, p0i[:, 1] + oy, p0i[:, 2] + oz)
+            idx = _hash_corner(p0i[:, 0] + ox, p0i[:, 1] + oy, p0i[:, 2] + oz,
+                               tables.shape[1])
             wx = frac[:, 0] if ox else (1.0 - frac[:, 0])
             wy = frac[:, 1] if oy else (1.0 - frac[:, 1])
             wz = frac[:, 2] if oz else (1.0 - frac[:, 2])

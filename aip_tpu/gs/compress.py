@@ -1,0 +1,235 @@
+"""Model compression & storage: post-quant, Huffman, npz save/load, report.
+
+Parity with reference `scene/gaussian_model.py`:
+* ``final_prune`` (:607-651) — mask prune, RVQ codebook quantization of
+  scale/rotation, storage accounting string;
+* ``post_quant`` (:580-588) — 8-bit uniform quantization (optionally pruning
+  near-zero entries) of the hash grid;
+* ``huffman_encode`` (:590-605) — entropy coding of RVQ indices / quantized
+  grid (dahuffman replaced by a self-contained canonical Huffman codec);
+* ``save_npz``/``load_npz`` (:295-333, :340-396) — compressed checkpoint;
+* Morton ``sort_morton`` (:687-699) before storage.
+
+All host-side numpy; device state converts at the boundary.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+from collections import Counter
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+
+from aip_tpu.gs import gaussians as G
+from aip_tpu.gs import rvq as rvq_mod
+from aip_tpu.ops.morton import morton_encode_np
+
+
+# ---------------------------------------------------------------------------
+# Canonical Huffman codec (dahuffman stand-in)
+# ---------------------------------------------------------------------------
+
+def huffman_build(symbols: np.ndarray) -> dict:
+    """Symbol frequencies -> {symbol: (code_int, code_len)}."""
+    freq = Counter(symbols.tolist())
+    if len(freq) == 1:
+        (s,) = freq
+        return {s: (0, 1)}
+    heap = [(f, i, s, None, None) for i, (s, f) in enumerate(freq.items())]
+    heapq.heapify(heap)
+    counter = len(heap)
+    while len(heap) > 1:
+        a = heapq.heappop(heap)
+        b = heapq.heappop(heap)
+        heapq.heappush(heap, (a[0] + b[0], counter, None, a, b))
+        counter += 1
+    codes = {}
+
+    def walk(node, code, length):
+        _f, _i, sym, left, right = node
+        if sym is not None:
+            codes[sym] = (code, max(length, 1))
+            return
+        walk(left, code << 1, length + 1)
+        walk(right, (code << 1) | 1, length + 1)
+
+    walk(heap[0], 0, 0)
+    return codes
+
+
+def huffman_encode(symbols: np.ndarray):
+    """Returns (packed_bytes, codes, n_symbols, total_bits)."""
+    codes = huffman_build(symbols)
+    bits = np.zeros(sum(codes[s][1] for s in symbols.tolist()), np.uint8)
+    pos = 0
+    for s in symbols.tolist():
+        code, length = codes[s]
+        for k in range(length - 1, -1, -1):
+            bits[pos] = (code >> k) & 1
+            pos += 1
+    packed = np.packbits(bits)
+    return packed, codes, len(symbols), pos
+
+
+def huffman_decode(packed: np.ndarray, codes: dict, n_symbols: int) -> np.ndarray:
+    bits = np.unpackbits(packed)
+    # Invert the code table.
+    inv = {(c, l): s for s, (c, l) in codes.items()}
+    out = np.empty(n_symbols, np.int64)
+    code, length, oi, = 0, 0, 0
+    for b in bits:
+        code = (code << 1) | int(b)
+        length += 1
+        key = (code, length)
+        if key in inv:
+            out[oi] = inv[key]
+            oi += 1
+            code, length = 0, 0
+            if oi == n_symbols:
+                break
+    return out
+
+
+def huffman_size_bytes(symbols: np.ndarray) -> float:
+    """Entropy-coded size in bytes (codebook overhead excluded, as in the
+    reference's accounting which reports the coded stream)."""
+    codes = huffman_build(symbols)
+    freq = Counter(symbols.tolist())
+    total_bits = sum(freq[s] * codes[s][1] for s in freq)
+    return total_bits / 8.0
+
+
+# ---------------------------------------------------------------------------
+# Post-quantization (gaussian_model.post_quant parity)
+# ---------------------------------------------------------------------------
+
+def post_quant(param: np.ndarray, prune: bool = False):
+    """8-bit uniform quantization; returns (dequantized, int_codes, scale).
+
+    Mirrors :580-588: max-abs scaling to [-127, 127]; ``prune`` zeroes
+    entries with |value| < scale (i.e. quantized magnitude < 1)."""
+    max_val = np.abs(param).max()
+    scale = max_val / 127.0 if max_val > 0 else 1.0
+    q = np.round(param / scale).astype(np.int8)
+    if prune:
+        q = np.where(np.abs(param) < scale, 0, q)
+    return q.astype(np.float32) * scale, q, scale
+
+
+# ---------------------------------------------------------------------------
+# Save / load
+# ---------------------------------------------------------------------------
+
+def sort_active_by_morton(state: G.GaussianState):
+    """Return active indices in Morton order (:687-699)."""
+    active = np.asarray(state.active)
+    xyz = np.asarray(state.xyz)[active]
+    lo, hi = xyz.min(0), xyz.max(0)
+    grid = ((2**21 - 1) * (xyz - lo) / np.maximum(hi - lo, 1e-12)).astype(np.uint64)
+    order = np.argsort(morton_encode_np(grid), kind="stable")
+    return np.nonzero(active)[0][order]
+
+
+def save_npz(path, state: G.GaussianState, field, rvq_scale: rvq_mod.RVQState,
+             rvq_rot: rvq_mod.RVQState, style_dim: int = 256) -> str:
+    """Compressed save (save_npz parity) + storage report string."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    order = sort_active_by_morton(state)
+
+    xyz = np.asarray(state.xyz)[order].astype(np.float16)
+    opacity = np.asarray(state.opacity)[order].astype(np.float16)
+    scales = np.asarray(G.get_scaling(state))[order]
+    rots = np.asarray(G.get_rotation(state))[order]
+
+    _, sc_idx = rvq_mod.quantize(rvq_scale, jnp.asarray(scales))
+    _, ro_idx = rvq_mod.quantize(rvq_rot, jnp.asarray(rots))
+    sc_idx = np.asarray(sc_idx).astype(np.int32)
+    ro_idx = np.asarray(ro_idx).astype(np.int32)
+
+    hash_q, hash_codes, hash_scale = post_quant(np.asarray(field.hash_tables), prune=True)
+
+    mlp = {
+        f"mlp_{k}": np.asarray(getattr(field, k)).astype(np.float16)
+        for k in ("mlp_w1", "mlp_b1", "mlp_w2", "mlp_b2", "mlp_w3", "mlp_b3")
+    }
+    if field.style_w is not None:
+        mlp["style_w"] = np.asarray(field.style_w).astype(np.float16)
+        mlp["style_b"] = np.asarray(field.style_b).astype(np.float16)
+
+    np.savez_compressed(
+        str(path),
+        xyz=xyz, opacity=opacity,
+        sc_idx=sc_idx, ro_idx=ro_idx,
+        sc_books=np.asarray(rvq_scale.codebooks).astype(np.float16),
+        ro_books=np.asarray(rvq_rot.codebooks).astype(np.float16),
+        hash_q=hash_codes, hash_scale=np.asarray(hash_scale),
+        **mlp,
+    )
+
+    # Storage accounting (final_prune :624-647 format).
+    pos_mb = xyz.nbytes / 1e6
+    sc_mb = huffman_size_bytes(sc_idx.ravel()) / 1e6 + np.asarray(rvq_scale.codebooks).astype(np.float16).nbytes / 1e6
+    ro_mb = huffman_size_bytes(ro_idx.ravel()) / 1e6 + np.asarray(rvq_rot.codebooks).astype(np.float16).nbytes / 1e6
+    op_mb = opacity.nbytes / 1e6
+    hash_mb = huffman_size_bytes(hash_codes.ravel()) / 1e6
+    mlp_mb = sum(v.nbytes for v in mlp.values()) / 1e6
+    total = pos_mb + sc_mb + ro_mb + op_mb + hash_mb + mlp_mb
+    report = (
+        f"position: {pos_mb:.3f} MB\n"
+        f"scale: {sc_mb:.3f} MB\n"
+        f"rotation: {ro_mb:.3f} MB\n"
+        f"opacity: {op_mb:.3f} MB\n"
+        f"hash: {hash_mb:.3f} MB\n"
+        f"mlp: {mlp_mb:.3f} MB\n"
+        f"total: {total:.3f} MB\n"
+    )
+    return report
+
+
+def load_npz(path, capacity: int | None = None):
+    """Load a compressed checkpoint. Returns (GaussianState, field arrays
+    dict, rvq states). Scales/rotations are decoded from RVQ indices."""
+    from aip_tpu.gs.colorfield import ColorFieldParams
+    from aip_tpu.ops.quaternion import inverse_sigmoid
+
+    d = np.load(str(path))
+    n = d["xyz"].shape[0]
+    cap = capacity or n
+
+    rvq_scale = rvq_mod.RVQState(jnp.asarray(d["sc_books"].astype(np.float32)))
+    rvq_rot = rvq_mod.RVQState(jnp.asarray(d["ro_books"].astype(np.float32)))
+    scales = np.asarray(rvq_mod.decode(rvq_scale, jnp.asarray(d["sc_idx"])))
+    rots = np.asarray(rvq_mod.decode(rvq_rot, jnp.asarray(d["ro_idx"])))
+
+    def pad(x, fill=0.0):
+        return np.pad(x, [(0, cap - n)] + [(0, 0)] * (x.ndim - 1), constant_values=fill)
+
+    state = G.GaussianState(
+        xyz=jnp.asarray(pad(d["xyz"].astype(np.float32))),
+        scaling=jnp.asarray(pad(np.log(np.maximum(scales, 1e-8)))),
+        rotation=jnp.asarray(pad(rots).astype(np.float32)).at[n:, 0].set(1.0),
+        opacity=jnp.asarray(pad(d["opacity"].astype(np.float32), -10.0)),
+        mask=jnp.asarray(pad(np.ones((n, 1), np.float32))),
+        active=jnp.arange(cap) < n,
+        max_radii2d=jnp.zeros(cap),
+        xyz_grad_accum=jnp.zeros((cap, 1)),
+        denom=jnp.zeros((cap, 1)),
+    )
+
+    hash_tables = d["hash_q"].astype(np.float32) * d["hash_scale"]
+    field = ColorFieldParams(
+        hash_tables=jnp.asarray(hash_tables),
+        mlp_w1=jnp.asarray(d["mlp_mlp_w1"].astype(np.float32)),
+        mlp_b1=jnp.asarray(d["mlp_mlp_b1"].astype(np.float32)),
+        mlp_w2=jnp.asarray(d["mlp_mlp_w2"].astype(np.float32)),
+        mlp_b2=jnp.asarray(d["mlp_mlp_b2"].astype(np.float32)),
+        mlp_w3=jnp.asarray(d["mlp_mlp_w3"].astype(np.float32)),
+        mlp_b3=jnp.asarray(d["mlp_mlp_b3"].astype(np.float32)),
+        style_w=jnp.asarray(d["style_w"].astype(np.float32)) if "style_w" in d else None,
+        style_b=jnp.asarray(d["style_b"].astype(np.float32)) if "style_b" in d else None,
+    )
+    return state, field, rvq_scale, rvq_rot

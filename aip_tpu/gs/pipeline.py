@@ -1,0 +1,122 @@
+"""User-facing 3DGS entry points: train + render, matching the reference API.
+
+Parity:
+* ``run_3dgs_training`` — `Style_3DGS/train.py:418-500` (GUI/CLI default
+  schedule: 15000 iters, 7000 photometric freeze, `run_3dgs.py:38-39`);
+* ``run_3dgs_rendering`` — `Style_3DGS/render.py:78-113` + ``render_sets``
+  (:51-75): load latest model, precompute hash features, pooled style
+  embedding, render the train cameras, write pngs and an animated GIF whose
+  path is returned (consumed by the GUI, `gui/first_page.py:118-121`).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+
+from aip_tpu.gs.dataset import Scene
+from aip_tpu.gs.train import GSTrainConfig, train, camera_to_arrays, make_settings_from_dims
+from aip_tpu.gs import compress as compress_mod
+from aip_tpu.gs import gaussians as G
+
+
+def run_3dgs_training(
+    content_path,
+    style_img_path,
+    model_path="output/3dgs_model",
+    iterations: int = 15_000,
+    freeze_iters: int = 7_000,
+    use_depth: bool = False,
+    depth_offset: float = 0.5,
+    depth_prominence: float = 20.0,
+    white_background: bool = False,
+    capacity: int = 1 << 17,
+    log2_hashmap: int = 19,
+    progress_every: int = 500,
+    seed: int = 0,
+) -> str:
+    """Train a stylized 3DGS scene; saves a compressed model. Returns
+    model_path."""
+    cfg = GSTrainConfig(
+        iterations=iterations, freeze_iters=freeze_iters,
+        white_background=white_background, capacity=capacity,
+        log2_hashmap=log2_hashmap,
+    )
+    scene = Scene(str(content_path), white_background=white_background)
+    trainer, style_f = train(
+        scene, style_img_path, cfg,
+        use_depth=use_depth, depth_offset=depth_offset,
+        depth_prominence=depth_prominence,
+        guide_dir=str(Path(model_path) / "stylized"),
+        progress_every=progress_every, seed=seed,
+    )
+
+    out = Path(model_path)
+    out.mkdir(parents=True, exist_ok=True)
+    report = compress_mod.save_npz(
+        out / "model.npz", trainer.gstate, trainer.field,
+        trainer.rvq_scale, trainer.rvq_rot,
+    )
+    (out / "storage").write_text(report)
+    (out / "cfg_args.json").write_text(json.dumps({
+        "source_path": str(content_path),
+        "white_background": white_background,
+        "iterations": iterations,
+        "freeze_iters": freeze_iters,
+        "log2_hashmap": log2_hashmap,
+    }))
+    return str(model_path)
+
+
+def run_3dgs_rendering(
+    style_image,
+    model_path="output/3dgs_model",
+    output_dir=None,
+    max_per_tile: int = 128,
+    fps: int = 10,
+) -> str:
+    """Render the trained scene under a (possibly new) style; returns the
+    GIF path (render.py:51-113 parity)."""
+    from PIL import Image
+
+    from aip_tpu.gs.render import render
+    from aip_tpu.gs.rasterizer import RasterSettings
+    from aip_tpu.pipelines.adain_infer import get_style_embeddings, _to_array
+
+    model_path = Path(model_path)
+    cfg_args = json.loads((model_path / "cfg_args.json").read_text())
+    state, field, rvq_scale, rvq_rot = compress_mod.load_npz(model_path / "model.npz")
+
+    scene = Scene(cfg_args["source_path"],
+                  white_background=cfg_args.get("white_background", False),
+                  shuffle=False)
+    bg = jnp.asarray([1.0, 1.0, 1.0] if cfg_args.get("white_background") else [0.0, 0.0, 0.0])
+
+    style_f = None
+    if field.style_w is not None:
+        feat = get_style_embeddings(_to_array(style_image))
+        style_f = jnp.mean(feat, axis=(1, 2))
+
+    out_dir = Path(output_dir or (model_path / "renders"))
+    out_dir.mkdir(parents=True, exist_ok=True)
+    frames = []
+    for i, cam in enumerate(scene.getTrainCameras()):
+        settings = RasterSettings(
+            image_height=cam.image_height, image_width=cam.image_width,
+            max_per_tile=max_per_tile,
+        )
+        out = render(cam, state, field, bg, style_f=style_f, mode="inference",
+                     settings=settings)
+        img = np.clip(np.asarray(out.render), 0, 1)
+        im = Image.fromarray((img * 255).astype(np.uint8))
+        im.save(out_dir / f"{i:05d}.png")
+        frames.append(im)
+
+    gif_path = out_dir / "render.gif"
+    if frames:
+        frames[0].save(gif_path, save_all=True, append_images=frames[1:],
+                       duration=int(1000 / fps), loop=0)
+    return str(gif_path)

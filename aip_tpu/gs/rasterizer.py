@@ -45,11 +45,12 @@ TILE = 16
 
 
 class RasterSettings(NamedTuple):
+    """Static (shape-determining) rasterization parameters. Camera-intrinsic
+    floats (tanfov, scale modifier) are dynamic operands instead, so one
+    compiled program serves every camera at a given resolution."""
+
     image_height: int
     image_width: int
-    tanfovx: float
-    tanfovy: float
-    scale_modifier: float = 1.0
     max_per_tile: int = 128
     chunk: int = 4096
 
@@ -60,7 +61,10 @@ def project_gaussians(
     rotations: jax.Array,
     viewmatrix: jax.Array,
     projmatrix: jax.Array,
+    tanfovx: jax.Array,
+    tanfovy: jax.Array,
     settings: RasterSettings,
+    scale_modifier: float = 1.0,
 ):
     """EWA projection of N Gaussians to screen space.
 
@@ -70,8 +74,8 @@ def project_gaussians(
     """
     n = means3d.shape[0]
     w, h = settings.image_width, settings.image_height
-    fx = w / (2.0 * settings.tanfovx)
-    fy = h / (2.0 * settings.tanfovy)
+    fx = w / (2.0 * tanfovx)
+    fy = h / (2.0 * tanfovy)
 
     hom = jnp.concatenate([means3d, jnp.ones((n, 1), means3d.dtype)], axis=1)
     p_view = hom @ viewmatrix  # [N, 4] row-vector transform
@@ -88,10 +92,10 @@ def project_gaussians(
     )
 
     # EWA 2D covariance. Clamp view-space x/y as the CUDA kernel does.
-    cov3d = covariance_from_scaling_rotation(scales * settings.scale_modifier, rotations)
+    cov3d = covariance_from_scaling_rotation(scales * scale_modifier, rotations)
     tzs = jnp.maximum(tz, 1e-6)
-    limx = 1.3 * settings.tanfovx
-    limy = 1.3 * settings.tanfovy
+    limx = 1.3 * tanfovx
+    limy = 1.3 * tanfovy
     txtz = jnp.clip(p_view[:, 0] / tzs, -limx, limx)
     tytz = jnp.clip(p_view[:, 1] / tzs, -limy, limy)
     tx = txtz * tzs
@@ -253,6 +257,9 @@ def rasterize(
     projmatrix: jax.Array,
     bg_color: jax.Array,
     settings: RasterSettings,
+    tanfovx=1.0,
+    tanfovy=1.0,
+    scale_modifier=1.0,
     screenspace_offset: jax.Array | None = None,
 ):
     """Full forward: project + select + composite.
@@ -262,7 +269,8 @@ def rasterize(
     statistics). Returns (image [H, W, 3], radii [N]).
     """
     mean2d, depths, conics, radii, valid = project_gaussians(
-        means3d, scales, rotations, viewmatrix, projmatrix, settings
+        means3d, scales, rotations, viewmatrix, projmatrix,
+        tanfovx, tanfovy, settings, scale_modifier,
     )
     if screenspace_offset is not None:
         mean2d = mean2d + screenspace_offset

@@ -1,0 +1,114 @@
+"""Render a GaussianState through the tile rasterizer with neural colors.
+
+Parity with reference `Style_3DGS/gaussian_renderer/__init__.py:18-130`:
+three modes —
+* inference (``itr == -1``): raw params, style-conditioned SH from the color
+  field (optionally with precomputed hash features);
+* train pre-RVQ: STE-mask-gated scales & opacity;
+* train RVQ phase: codebook-quantized scales/rotations (mask-gated).
+
+SH -> RGB happens inside this wrapper via eval_sh on the view direction
+(the CUDA rasterizer does this internally; same math, reference
+`utils/sh_utils.py` + `convert SHs` in the CUDA kernel: clamp(rgb+0.5, min 0)).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from aip_tpu.gs import gaussians as G
+from aip_tpu.gs.colorfield import ColorFieldParams, predict_sh
+from aip_tpu.gs.rasterizer import RasterSettings, rasterize
+from aip_tpu.gs import rvq as rvq_mod
+from aip_tpu.ops.sh import eval_sh
+
+
+class RenderOutput(NamedTuple):
+    render: jax.Array        # [H, W, 3]
+    radii: jax.Array         # [C]
+    visibility: jax.Array    # [C] bool
+
+
+def make_settings(camera, max_per_tile: int = 128, chunk: int = 4096) -> RasterSettings:
+    return RasterSettings(
+        image_height=camera.image_height,
+        image_width=camera.image_width,
+        max_per_tile=max_per_tile,
+        chunk=chunk,
+    )
+
+
+def _sh_colors(sh: jax.Array, xyz: jax.Array, campos: jax.Array) -> jax.Array:
+    """View-dependent RGB from per-gaussian deg-3 SH (CUDA computeColor
+    parity: normalize dir, eval, +0.5, clamp at 0)."""
+    dirs = xyz - campos[None, :]
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+    # eval_sh wants [..., C, coeffs]: transpose [N, 16, 3] -> [N, 3, 16].
+    rgb = eval_sh(3, jnp.swapaxes(sh, 1, 2), dirs)
+    return jnp.maximum(rgb + 0.5, 0.0)
+
+
+def render(
+    camera,
+    state: G.GaussianState,
+    field: ColorFieldParams,
+    bg_color: jax.Array,
+    style_f: jax.Array | None = None,
+    mode: str = "train",                  # 'train' | 'train_rvq' | 'inference'
+    rvq_scale: rvq_mod.RVQState | None = None,
+    rvq_rot: rvq_mod.RVQState | None = None,
+    scaling_modifier: float = 1.0,
+    settings: RasterSettings | None = None,
+    screenspace_offset: jax.Array | None = None,
+    precomputed_enc: jax.Array | None = None,
+    tanfovx=None,
+    tanfovy=None,
+) -> RenderOutput:
+    if settings is None:
+        settings = make_settings(camera)
+    if tanfovx is None:
+        tanfovx = math.tan(camera.FoVx * 0.5)
+    if tanfovy is None:
+        tanfovy = math.tan(camera.FoVy * 0.5)
+
+    vm = jnp.asarray(camera.world_view_transform, jnp.float32)
+    pm = jnp.asarray(camera.full_proj_transform, jnp.float32)
+    campos = jnp.asarray(camera.camera_center, jnp.float32)
+
+    xyz = state.xyz
+    active = state.active
+
+    if mode == "inference":
+        scales = jnp.exp(state.scaling)
+        rotations = state.rotation
+        opacity = jax.nn.sigmoid(state.opacity)[:, 0]
+    else:
+        m = G.ste_mask(state)
+        if mode == "train_rvq":
+            assert rvq_scale is not None and rvq_rot is not None
+            scales_q, _ = rvq_mod.quantize(rvq_scale, G.get_scaling(state))
+            rot_q, _ = rvq_mod.quantize(rvq_rot, G.get_rotation(state))
+            scales = scales_q * m
+            rotations = rot_q
+        else:
+            scales = G.get_scaling(state) * m
+            rotations = G.get_rotation(state)
+        opacity = (G.get_opacity(state) * m)[:, 0]
+
+    # Inactive slots contribute nothing.
+    opacity = jnp.where(active, opacity, 0.0)
+
+    sh = predict_sh(field, xyz, style_f, precomputed_enc=precomputed_enc)
+    colors = _sh_colors(sh, xyz, campos)
+
+    img, radii = rasterize(
+        xyz, scales, rotations, opacity, colors, vm, pm,
+        jnp.asarray(bg_color, jnp.float32), settings,
+        tanfovx=tanfovx, tanfovy=tanfovy, scale_modifier=scaling_modifier,
+        screenspace_offset=screenspace_offset,
+    )
+    return RenderOutput(render=img, radii=radii, visibility=(radii > 0) & active)

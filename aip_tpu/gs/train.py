@@ -1,0 +1,406 @@
+"""Stylized 3DGS training loop (Compact-3DGS schedule + AdaIN style phase).
+
+Parity with reference `Style_3DGS/train.py:42-307` and the defaults in
+`arguments/__init__.py:75-99`:
+* two-phase loss — photometric ``0.8*L1 + 0.2*(1-SSIM) + 5e-4*mean(sigmoid
+  (mask))`` until ``freeze_iters``, then pure L1 against the per-view AdaIN
+  style guide (pre-computed once per camera, train.py:87-115);
+* densify/clone/split every 100 iters in [500, 15000), opacity reset every
+  3000, mask-prune every 1000 after densification ends, RVQ fine-tune phase
+  from iter 29000 (15000-iter GUI schedule: proportionally earlier);
+* two optimizers — per-group Adam (eps 1e-15) with the log-lerp xyz schedule
+  (general_utils.py:29-62), and the network Adam with 100-iter linear warmup
+  + MultiStep(0.33 @ [5k, 15k, 25k]);
+* final mask-prune + RVQ + Morton sort + storage report at the last iter.
+
+TPU design: the train step is ONE jitted program (render + loss + both
+optimizer updates); densification ops are separate jitted shape-stable
+functions on the fixed-capacity state; Adam moments for re-used slots are
+zeroed through the same slot masks. Guide images live on device for the
+whole style phase (the reference reloads them from disk every iteration —
+SURVEY.md §3.2 flags this; here it is a device-resident cache).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field as dc_field
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from aip_tpu.gs import gaussians as G
+from aip_tpu.gs import rvq as rvq_mod
+from aip_tpu.gs.colorfield import ColorFieldParams, init_colorfield
+from aip_tpu.gs.render import render, make_settings
+from aip_tpu.ops.metrics import l1_loss, ssim
+
+
+@dataclass(frozen=True)
+class GSTrainConfig:
+    iterations: int = 15_000
+    freeze_iters: int = 7_000
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30_000
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    mask_lr: float = 0.01
+    net_lr: float = 0.01
+    net_lr_step: tuple = (5_000, 15_000, 25_000)
+    percent_dense: float = 0.01
+    lambda_dssim: float = 0.2
+    lambda_mask: float = 0.0005
+    densification_interval: int = 100
+    opacity_reset_interval: int = 3_000
+    densify_from_iter: int = 500
+    densify_until_iter: int = 15_000
+    densify_grad_threshold: float = 0.0002
+    mask_prune_iter: int = 1_000
+    rvq_iter: int = 29_000
+    rvq_size: int = 64
+    rvq_num: int = 6
+    style_dim: int = 256
+    log2_hashmap: int = 19
+    capacity: int = 1 << 17
+    max_per_tile: int = 128
+    raster_chunk: int = 4096
+    white_background: bool = False
+
+
+class CameraArrays(NamedTuple):
+    """Device-side camera bundle (one resolution -> one compiled step)."""
+
+    world_view: jax.Array
+    full_proj: jax.Array
+    campos: jax.Array
+    image: jax.Array       # [H, W, 3] ground truth (or style guide)
+    height: int
+    width: int
+    tanfovx: float
+    tanfovy: float
+
+
+def camera_to_arrays(cam, image=None) -> CameraArrays:
+    import math
+
+    img = cam.image if image is None else image
+    return CameraArrays(
+        world_view=jnp.asarray(cam.world_view_transform, jnp.float32),
+        full_proj=jnp.asarray(cam.full_proj_transform, jnp.float32),
+        campos=jnp.asarray(cam.camera_center, jnp.float32),
+        image=jnp.asarray(img, jnp.float32),
+        height=cam.image_height,
+        width=cam.image_width,
+        tanfovx=math.tan(cam.FoVx * 0.5),
+        tanfovy=math.tan(cam.FoVy * 0.5),
+    )
+
+
+def expon_lr(step, lr_init, lr_final, lr_delay_mult, max_steps, delay_steps=0):
+    """Log-lerp schedule (general_utils.py:29-62), jnp-traceable."""
+    t = jnp.clip(step / max_steps, 0.0, 1.0)
+    log_lerp = jnp.exp(jnp.log(lr_init) * (1 - t) + jnp.log(lr_final) * t)
+    return log_lerp
+
+
+def make_gaussian_optimizer(cfg: GSTrainConfig, spatial_lr_scale: float):
+    """Per-group Adam, eps=1e-15, xyz on the log-lerp schedule."""
+
+    def xyz_schedule(step):
+        return expon_lr(
+            step,
+            cfg.position_lr_init * spatial_lr_scale,
+            cfg.position_lr_final * spatial_lr_scale,
+            cfg.position_lr_delay_mult,
+            cfg.position_lr_max_steps,
+        )
+
+    def adam(lr):
+        return optax.adam(lr, eps=1e-15)
+
+    return optax.multi_transform(
+        {
+            "xyz": adam(xyz_schedule),
+            "opacity": adam(cfg.opacity_lr),
+            "scaling": adam(cfg.scaling_lr),
+            "rotation": adam(cfg.rotation_lr),
+            "mask": adam(cfg.mask_lr),
+        },
+        param_labels={"xyz": "xyz", "opacity": "opacity", "scaling": "scaling",
+                      "rotation": "rotation", "mask": "mask"},
+    )
+
+
+def make_net_optimizer(cfg: GSTrainConfig):
+    """Adam with LinearLR(0.01 -> 1 over 100) * MultiStep(0.33 @ steps)."""
+
+    def schedule(step):
+        warm = jnp.minimum(1.0, 0.01 + 0.99 * step / 100.0)
+        gamma = jnp.asarray(1.0)
+        for m in cfg.net_lr_step:
+            gamma = gamma * jnp.where(step >= m, 0.33, 1.0)
+        return cfg.net_lr * warm * gamma
+
+    return optax.adam(schedule, eps=1e-15)
+
+
+class TrainerState(NamedTuple):
+    gstate: G.GaussianState
+    field: ColorFieldParams
+    opt_g: optax.OptState
+    opt_net: optax.OptState
+    rvq_scale: rvq_mod.RVQState | None
+    rvq_rot: rvq_mod.RVQState | None
+    step: jax.Array
+
+
+def _gparams(gstate: G.GaussianState) -> dict:
+    return {"xyz": gstate.xyz, "opacity": gstate.opacity, "scaling": gstate.scaling,
+            "rotation": gstate.rotation, "mask": gstate.mask}
+
+
+def _with_gparams(gstate: G.GaussianState, p: dict) -> G.GaussianState:
+    return gstate._replace(xyz=p["xyz"], opacity=p["opacity"], scaling=p["scaling"],
+                           rotation=p["rotation"], mask=p["mask"])
+
+
+def init_trainer(cfg: GSTrainConfig, points, colors, spatial_lr_scale: float,
+                 seed: int = 0):
+    gstate, _sh_dc = G.create_from_pcd(jnp.asarray(points), jnp.asarray(colors),
+                                       cfg.capacity)
+    field = init_colorfield(jax.random.PRNGKey(seed),
+                            style_dim=cfg.style_dim or None,
+                            log2_hashmap=cfg.log2_hashmap)
+    opt_g = make_gaussian_optimizer(cfg, spatial_lr_scale).init(_gparams(gstate))
+    opt_net = make_net_optimizer(cfg).init(field)
+    return TrainerState(gstate, field, opt_g, opt_net, None, None,
+                        jnp.zeros((), jnp.int32))
+
+
+def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
+                    phase: str, height: int, width: int, use_rvq: bool = False):
+    """Build the jitted step for 'photometric' or 'style' phase at a fixed
+    image resolution (one compiled program per resolution).
+
+    Returns step(trainer, camera: CameraArrays, style_f, bg) ->
+    (trainer, metrics).
+    """
+    opt_gaussian = make_gaussian_optimizer(cfg, spatial_lr_scale)
+    opt_network = make_net_optimizer(cfg)
+    mode = "train_rvq" if use_rvq else "train"
+    settings = make_settings_from_dims(height, width, cfg)
+
+    def loss_fn(gparams, field, gstate, camera, style_f, bg, offs, rvq_s, rvq_r):
+        gstate = _with_gparams(gstate, gparams)
+        out = render_from_arrays(camera, gstate, field, bg, style_f, mode,
+                                 rvq_s, rvq_r, settings, offs)
+        img = out.render
+        gt = camera.image
+        if phase == "photometric":
+            ll1 = l1_loss(img, gt)
+            loss = (
+                (1.0 - cfg.lambda_dssim) * ll1
+                + cfg.lambda_dssim * (1.0 - ssim(img[None], gt[None]))
+                + cfg.lambda_mask * jnp.mean(jax.nn.sigmoid(gstate.mask))
+            )
+        else:
+            ll1 = l1_loss(img, gt)  # gt here is the stylized guide
+            loss = ll1
+        return loss, (ll1, out.radii)
+
+    @jax.jit
+    def step(trainer: TrainerState, camera: CameraArrays, style_f, bg):
+        gparams = _gparams(trainer.gstate)
+        offs = jnp.zeros((cfg.capacity, 2))
+        (loss, (ll1, radii)), grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 6), has_aux=True)(
+            gparams, trainer.field, trainer.gstate, camera, style_f, bg, offs,
+            trainer.rvq_scale, trainer.rvq_rot,
+        )
+        g_gauss, g_field, g_offs = grads
+
+        upd_g, opt_g = opt_gaussian.update(g_gauss, trainer.opt_g, gparams)
+        gparams = optax.apply_updates(gparams, upd_g)
+        upd_n, opt_net = opt_network.update(g_field, trainer.opt_net, trainer.field)
+        field = optax.apply_updates(trainer.field, upd_n)
+
+        gstate = _with_gparams(trainer.gstate, gparams)
+        gstate = G.add_densification_stats(gstate, g_offs, radii)
+
+        new_trainer = trainer._replace(
+            gstate=gstate, field=field, opt_g=opt_g, opt_net=opt_net,
+            step=trainer.step + 1,
+        )
+        return new_trainer, {"loss": loss, "l1": ll1}
+
+    return step
+
+
+def make_settings_from_dims(height: int, width: int, cfg: GSTrainConfig):
+    from aip_tpu.gs.rasterizer import RasterSettings
+
+    return RasterSettings(
+        image_height=height, image_width=width,
+        max_per_tile=cfg.max_per_tile, chunk=cfg.raster_chunk,
+    )
+
+
+def render_from_arrays(camera: CameraArrays, gstate, field, bg, style_f, mode,
+                       rvq_s, rvq_r, settings, screenspace_offset=None):
+    """render() over a CameraArrays bundle (avoids host Camera objects in jit)."""
+
+    class _Cam:
+        world_view_transform = camera.world_view
+        full_proj_transform = camera.full_proj
+        camera_center = camera.campos
+        image_height = settings.image_height
+        image_width = settings.image_width
+        FoVx = 0.0  # unused when settings given
+        FoVy = 0.0
+
+    return render(_Cam, gstate, field, bg, style_f=style_f, mode=mode,
+                  rvq_scale=rvq_s, rvq_rot=rvq_r, settings=settings,
+                  screenspace_offset=screenspace_offset,
+                  tanfovx=camera.tanfovx, tanfovy=camera.tanfovy)
+
+
+def zero_moment_slots(opt_state, slot_mask: jax.Array):
+    """Zero Adam moments at re-used slots after densification appends."""
+    c = slot_mask.shape[0]
+
+    def fix(leaf):
+        if isinstance(leaf, jax.Array) and leaf.ndim >= 1 and leaf.shape[0] == c:
+            return jnp.where(
+                slot_mask.reshape((c,) + (1,) * (leaf.ndim - 1)), 0.0, leaf
+            )
+        return leaf
+
+    return jax.tree.map(fix, opt_state)
+
+
+def train(
+    scene,
+    style_image,
+    cfg: GSTrainConfig = GSTrainConfig(),
+    use_depth: bool = False,
+    img_size: int = 512,
+    depth_offset: float = 0.5,
+    depth_prominence: float = 20.0,
+    guide_dir=None,
+    progress_every: int = 0,
+    seed: int = 0,
+):
+    """Full two-phase stylized training. Returns (TrainerState, style_f).
+
+    ``scene`` is an aip_tpu.gs.dataset.Scene; ``style_image`` a path/array.
+    """
+    from aip_tpu.pipelines.adain_infer import (
+        adain_inference, get_style_embeddings, _to_array,
+    )
+
+    rng = np.random.default_rng(seed)
+    pcd = scene.point_cloud
+    trainer = init_trainer(cfg, pcd.points, pcd.colors, scene.cameras_extent, seed)
+
+    bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.white_background else [0.0, 0.0, 0.0])
+
+    # Pooled style embedding [1, 512] (train.py:80-84).
+    style_f = None
+    if cfg.style_dim:
+        feat = get_style_embeddings(_to_array(style_image))  # [1, h, w, 512]
+        style_f = jnp.mean(feat, axis=(1, 2))  # adaptive_avg_pool2d to 1x1
+
+    cams = scene.getTrainCameras()
+
+    # Pre-pass: one stylized guide per camera, cached on device (train.py:87-115).
+    guides = {}
+    import tempfile
+
+    guide_out = guide_dir or tempfile.mkdtemp(prefix="aip_gs_guides_")
+    for cam in cams:
+        gt = (cam.image * 255).astype(np.uint8)
+        mask = (gt > 0).transpose(2, 0, 1)[:1].astype(np.float32)
+        path = adain_inference(
+            content_img=gt, style_img=style_image,
+            content_size=img_size, style_size=img_size,
+            content_mask=mask, output=str(guide_out), file_name=cam.image_name,
+            use_depth=use_depth, depth_offset=depth_offset,
+            depth_prominence=depth_prominence,
+        )
+        guide = _to_array(path)
+        from aip_tpu.ops.image import resize_bilinear
+
+        guide = resize_bilinear(jnp.asarray(guide),
+                                (cam.image_height, cam.image_width))
+        guides[cam.image_name] = guide
+
+    # One compiled step per (phase, resolution).
+    step_cache = {}
+
+    def get_step(phase, cam):
+        key_ = (phase, cam.image_height, cam.image_width)
+        if key_ not in step_cache:
+            step_cache[key_] = make_train_step(
+                cfg, scene.cameras_extent, phase, cam.image_height, cam.image_width)
+        return step_cache[key_]
+
+    cam_arrays = [camera_to_arrays(c) for c in cams]
+    guide_arrays = [camera_to_arrays(c, image=np.asarray(guides[c.image_name]))
+                    for c in cams]
+
+    stack = []
+    key = jax.random.PRNGKey(seed)
+    for it in range(1, cfg.iterations + 1):
+        if not stack:
+            stack = list(rng.permutation(len(cams)))
+        ci = stack.pop()
+
+        if it < cfg.freeze_iters:
+            trainer, metrics = get_step("photometric", cams[ci])(
+                trainer, cam_arrays[ci], style_f, bg)
+        else:
+            trainer, metrics = get_step("style", cams[ci])(
+                trainer, guide_arrays[ci], style_f, bg)
+
+        # Densification schedule (train.py:264-293).
+        if it < cfg.densify_until_iter:
+            if it > cfg.densify_from_iter and it % cfg.densification_interval == 0:
+                gstate, slots_c = G.densify_and_clone(
+                    trainer.gstate, cfg.densify_grad_threshold,
+                    cfg.percent_dense, scene.cameras_extent)
+                key, sub = jax.random.split(key)
+                gstate, slots_s = G.densify_and_split(
+                    gstate, sub, cfg.densify_grad_threshold,
+                    cfg.percent_dense, scene.cameras_extent)
+                size_thr = 20.0 if it > cfg.opacity_reset_interval else 0.0
+                gstate = G.prune(gstate, 0.005, scene.cameras_extent, size_thr)
+                gstate = G.reset_stats(gstate)
+                opt_g = zero_moment_slots(trainer.opt_g, slots_c | slots_s)
+                trainer = trainer._replace(gstate=gstate, opt_g=opt_g)
+            if it % cfg.opacity_reset_interval == 0 or (
+                cfg.white_background and it == cfg.densify_from_iter
+            ):
+                trainer = trainer._replace(gstate=G.reset_opacity(trainer.gstate))
+        else:
+            if it % cfg.mask_prune_iter == 0:
+                trainer = trainer._replace(gstate=G.mask_prune(trainer.gstate))
+
+        if progress_every and it % progress_every == 0:
+            print(f"iter {it}: loss={float(metrics['loss']):.5f} "
+                  f"n={int(trainer.gstate.n_active)}")
+
+    # Final: mask prune + RVQ codebooks (final_prune parity, :607-651).
+    trainer = trainer._replace(gstate=G.mask_prune(trainer.gstate))
+    key, k1, k2 = jax.random.split(key, 3)
+    active = trainer.gstate.active
+    scales = G.get_scaling(trainer.gstate)
+    rots = G.get_rotation(trainer.gstate)
+    rvq_scale = rvq_mod.kmeans_init(k1, scales[active], cfg.rvq_num, cfg.rvq_size)
+    rvq_rot = rvq_mod.kmeans_init(k2, rots[active], cfg.rvq_num, cfg.rvq_size)
+    trainer = trainer._replace(rvq_scale=rvq_scale, rvq_rot=rvq_rot)
+    return trainer, style_f

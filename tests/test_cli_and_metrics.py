@@ -1,0 +1,103 @@
+"""CLI entry points + metrics/LPIPS tests."""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+
+@pytest.fixture
+def imgs(tmp_path, rng):
+    c = tmp_path / "content.png"
+    s = tmp_path / "style.png"
+    Image.fromarray((rng.random((40, 40, 3)) * 255).astype(np.uint8)).save(c)
+    Image.fromarray((rng.random((40, 40, 3)) * 255).astype(np.uint8)).save(s)
+    return c, s
+
+
+@pytest.fixture(autouse=True)
+def _weights_dir(tmp_path, monkeypatch):
+    from aip_tpu.models import weights as weights_mod
+
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+
+
+def test_run_depth_cli(tmp_path, imgs):
+    from aip_tpu.cli.run_depth import main
+
+    c, s = imgs
+    out = main(["--content", str(c), "--style", str(s), "--output", str(tmp_path),
+                "--file_name", "x", "--use_depth"])
+    assert out.exists()
+
+
+def test_run_semantic_segm_cli(tmp_path, imgs):
+    from aip_tpu.cli.run_semantic_segm import main
+
+    c, s = imgs
+    out = main(["--content", str(c), "--style", str(s), "--output", str(tmp_path)])
+    assert json is not None and out
+
+
+def test_run_pixelize_cli(tmp_path, imgs):
+    from aip_tpu.cli.run_pixelize import main
+
+    c, _ = imgs
+    out = main(["--input", str(c), "--output", str(tmp_path / "p.png"),
+                "--palette", "gameboy-dmg", "--method", "LAB", "--downsample", "2"])
+    img = np.asarray(Image.open(out))
+    assert img.shape == (20, 20, 3)
+
+
+def test_run_nst_cli(tmp_path, imgs):
+    from aip_tpu.cli.run_nst import main
+
+    c, s = imgs
+    out = main(["--content", str(c), "--style", str(s),
+                "--output", str(tmp_path / "n.png"), "--steps", "3", "--max_dim", "32"])
+    assert Image.open(out).size[0] <= 32
+
+
+def test_run_vectorize_cli(tmp_path, rng):
+    from aip_tpu.cli.run_vectorize import main
+
+    sprite = tmp_path / "s.png"
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[2:6, 2:6] = (200, 40, 40)
+    Image.fromarray(img).save(sprite)
+    out = main(["--input", str(sprite), "--output", str(tmp_path / "v"), "--scale", "4"])
+    assert Image.open(out).size == (32, 32)
+
+
+def test_lpips_properties(rng):
+    from aip_tpu.models.lpips import init_vgg16_params, lpips
+
+    params = init_vgg16_params(jax.random.PRNGKey(0))
+    a = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    b = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    d_same = float(lpips(a, a, params)[0])
+    d_diff = float(lpips(a, b, params)[0])
+    assert d_same < 1e-8
+    assert d_diff > d_same
+
+
+def test_metrics_evaluate(tmp_path, rng):
+    from aip_tpu.gs.metrics_cli import evaluate
+
+    d = tmp_path / "model" / "test" / "ours_100"
+    (d / "renders").mkdir(parents=True)
+    (d / "gt").mkdir()
+    for i in range(2):
+        img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(d / "gt" / f"{i}.png")
+        noisy = np.clip(img.astype(int) + rng.integers(-10, 10, img.shape), 0, 255).astype(np.uint8)
+        Image.fromarray(noisy).save(d / "renders" / f"{i}.png")
+    out = evaluate([str(tmp_path / "model")], use_lpips=False)
+    res = out[str(tmp_path / "model")]["ours_100"]
+    assert 20 < res["PSNR"] < 50
+    assert 0.5 < res["SSIM"] <= 1.0
+    assert (tmp_path / "model" / "results.json").exists()
+    assert (tmp_path / "model" / "per_view.json").exists()

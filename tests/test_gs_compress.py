@@ -1,0 +1,114 @@
+"""Compression: Huffman codec, post-quant, save/load roundtrip, full
+train->save->render pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aip_tpu.gs import compress as C
+from aip_tpu.gs import gaussians as G
+from aip_tpu.gs import rvq as rvq_mod
+from aip_tpu.gs.colorfield import init_colorfield
+
+
+def test_huffman_roundtrip(rng):
+    symbols = rng.integers(0, 16, 500)
+    packed, codes, n, bits = C.huffman_encode(symbols)
+    decoded = C.huffman_decode(packed, codes, n)
+    np.testing.assert_array_equal(decoded, symbols)
+    # Entropy coding beats fixed 8-bit for a skewed distribution.
+    skewed = np.concatenate([np.zeros(900, np.int64), rng.integers(0, 16, 100)])
+    assert C.huffman_size_bytes(skewed) < len(skewed)
+
+
+def test_huffman_single_symbol():
+    symbols = np.zeros(10, np.int64)
+    packed, codes, n, _ = C.huffman_encode(symbols)
+    np.testing.assert_array_equal(C.huffman_decode(packed, codes, n), symbols)
+
+
+def test_post_quant_error_bound(rng):
+    x = rng.standard_normal((100, 4)).astype(np.float32)
+    deq, q, scale = C.post_quant(x)
+    assert q.dtype == np.int8
+    assert np.abs(deq - x).max() <= scale * 0.5 + 1e-7
+
+
+def test_save_load_roundtrip(tmp_path, rng):
+    pts = jnp.asarray(rng.standard_normal((60, 3)).astype(np.float32))
+    cols = jnp.asarray(rng.random((60, 3)).astype(np.float32))
+    state, _ = G.create_from_pcd(pts, cols, capacity=64)
+    field = init_colorfield(jax.random.PRNGKey(0), style_dim=256, log2_hashmap=10)
+    scales = G.get_scaling(state)[state.active]
+    rots = G.get_rotation(state)[state.active]
+    rvq_s = rvq_mod.kmeans_init(jax.random.PRNGKey(1), scales, 2, 8)
+    rvq_r = rvq_mod.kmeans_init(jax.random.PRNGKey(2), rots, 2, 8)
+
+    report = C.save_npz(tmp_path / "m.npz", state, field, rvq_s, rvq_r)
+    assert "total:" in report
+
+    state2, field2, rvq_s2, rvq_r2 = C.load_npz(tmp_path / "m.npz")
+    assert int(state2.n_active) == 60
+    # Positions survive at fp16 precision.
+    a = np.sort(np.asarray(state.xyz[state.active]), axis=0)
+    b = np.sort(np.asarray(state2.xyz[state2.active]), axis=0)
+    np.testing.assert_allclose(a, b, atol=1e-2)
+    # Hash tables dequantize within 8-bit error.
+    orig = np.asarray(field.hash_tables)
+    got = np.asarray(field2.hash_tables)
+    assert np.abs(orig - got).max() < np.abs(orig).max() / 64
+
+
+def test_train_save_render_pipeline(tmp_path, rng, monkeypatch):
+    """run_3dgs_training -> run_3dgs_rendering end to end (tiny)."""
+    import json
+    from PIL import Image
+
+    from aip_tpu.models import weights as weights_mod
+    from aip_tpu.gs.pipeline import run_3dgs_rendering
+    from aip_tpu.gs.dataset import Scene
+    from aip_tpu.gs.train import GSTrainConfig, train
+    from aip_tpu.gs import compress as compress_mod
+    from pathlib import Path
+
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+
+    # Tiny Blender scene.
+    (tmp_path / "scene" / "images").mkdir(parents=True)
+    frames = []
+    for i in range(2):
+        c2w = np.eye(4)
+        c2w[2, 3] = 3.0 - i * 0.5
+        frames.append({"file_path": f"./images/r_{i}", "transform_matrix": c2w.tolist()})
+        img = np.zeros((32, 32, 4), np.uint8)
+        img[10:22, 10:22] = (200, 60, 60, 255)
+        img[..., 3] = 255
+        Image.fromarray(img).save(tmp_path / "scene" / "images" / f"r_{i}.png")
+    (tmp_path / "scene" / "transforms_train.json").write_text(
+        json.dumps({"camera_angle_x": 0.8, "frames": frames}))
+
+    Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(tmp_path / "style.png")
+
+    scene = Scene(str(tmp_path / "scene"), shuffle=False)
+    scene.scene_info.point_cloud.points = scene.scene_info.point_cloud.points[:100]
+    scene.scene_info.point_cloud.colors = scene.scene_info.point_cloud.colors[:100]
+    cfg = GSTrainConfig(iterations=8, freeze_iters=5, capacity=128, max_per_tile=16,
+                        raster_chunk=128, densify_from_iter=100, log2_hashmap=10,
+                        rvq_size=8, rvq_num=2, net_lr_step=(1000,))
+    trainer, _ = train(scene, str(tmp_path / "style.png"), cfg, img_size=32,
+                       guide_dir=str(tmp_path / "guides"))
+
+    model_dir = tmp_path / "model"
+    model_dir.mkdir()
+    report = compress_mod.save_npz(model_dir / "model.npz", trainer.gstate,
+                                   trainer.field, trainer.rvq_scale, trainer.rvq_rot)
+    (model_dir / "storage").write_text(report)
+    (model_dir / "cfg_args.json").write_text(json.dumps({
+        "source_path": str(tmp_path / "scene"), "white_background": False,
+    }))
+
+    gif = run_3dgs_rendering(str(tmp_path / "style.png"), str(model_dir),
+                             max_per_tile=16)
+    assert Path(gif).exists()
+    assert (model_dir / "renders" / "00000.png").exists()

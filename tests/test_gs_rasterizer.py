@@ -25,13 +25,16 @@ def _camera(w=64, h=64, dist=4.0):
 
 
 def _settings(cam, k=64, chunk=64):
-    import math
-
     return RasterSettings(
         image_height=cam.image_height, image_width=cam.image_width,
-        tanfovx=math.tan(cam.FoVx * 0.5), tanfovy=math.tan(cam.FoVy * 0.5),
         max_per_tile=k, chunk=chunk,
     )
+
+
+def _tanfov(cam):
+    import math
+
+    return math.tan(cam.FoVx * 0.5), math.tan(cam.FoVy * 0.5)
 
 
 def _scene(rng, n=20):
@@ -49,9 +52,11 @@ def test_projection_center_and_depth():
     means = jnp.asarray([[0.0, 0.0, 0.0]])
     scales = jnp.asarray([[0.1, 0.1, 0.1]])
     quats = jnp.asarray([[1.0, 0.0, 0.0, 0.0]])
+    tx, ty = _tanfov(cam)
     m2d, depth, conic, radius, valid = project_gaussians(
         means, scales, quats,
-        jnp.asarray(cam.world_view_transform), jnp.asarray(cam.full_proj_transform), s,
+        jnp.asarray(cam.world_view_transform), jnp.asarray(cam.full_proj_transform),
+        tx, ty, s,
     )
     # A gaussian at the origin viewed from (0,0,-4) projects to image center.
     np.testing.assert_allclose(np.asarray(m2d[0]), [31.5, 31.5], atol=0.5)
@@ -63,9 +68,11 @@ def test_behind_camera_culled():
     cam = _camera(dist=4.0)
     s = _settings(cam)
     means = jnp.asarray([[0.0, 0.0, -10.0]])  # behind the camera
+    tx, ty = _tanfov(cam)
     m2d, depth, conic, radius, valid = project_gaussians(
         means, jnp.full((1, 3), 0.1), jnp.asarray([[1.0, 0, 0, 0]]),
-        jnp.asarray(cam.world_view_transform), jnp.asarray(cam.full_proj_transform), s,
+        jnp.asarray(cam.world_view_transform), jnp.asarray(cam.full_proj_transform),
+        tx, ty, s,
     )
     assert not bool(valid[0])
     assert float(radius[0]) == 0.0
@@ -111,13 +118,16 @@ def test_rasterize_matches_bruteforce(rng):
     pm = jnp.asarray(cam.full_proj_transform)
     bg = jnp.zeros(3)
 
+    tx, ty = _tanfov(cam)
     img, radii = rasterize(
         jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
         jnp.asarray(opac), jnp.asarray(colors), vm, pm, bg, s,
+        tanfovx=tx, tanfovy=ty,
     )
 
     m2d, depth, conic, rad, valid = project_gaussians(
-        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats), vm, pm, s)
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats), vm, pm,
+        tx, ty, s)
     expect = _oracle_composite(
         np.asarray(m2d), np.asarray(depth), np.asarray(conic), np.asarray(rad),
         np.asarray(valid), colors, opac, np.zeros(3), 32, 32,
@@ -129,12 +139,13 @@ def test_background_shows_through(rng):
     cam = _camera(w=32, h=32)
     s = _settings(cam, k=8, chunk=8)
     # One tiny gaussian in a corner; most pixels should be pure background.
+    tx, ty = _tanfov(cam)
     img, _ = rasterize(
         jnp.asarray([[0.9, 0.9, 0.0]]), jnp.full((1, 3), 0.02),
         jnp.asarray([[1.0, 0, 0, 0]]), jnp.asarray([0.9]),
         jnp.asarray([[1.0, 0.0, 0.0]]),
         jnp.asarray(cam.world_view_transform), jnp.asarray(cam.full_proj_transform),
-        jnp.asarray([0.0, 0.0, 1.0]), s,
+        jnp.asarray([0.0, 0.0, 1.0]), s, tanfovx=tx, tanfovy=ty,
     )
     img = np.asarray(img)
     # Center pixel: background blue.
@@ -148,11 +159,13 @@ def test_gradients_flow(rng):
     vm = jnp.asarray(cam.world_view_transform)
     pm = jnp.asarray(cam.full_proj_transform)
 
+    tx, ty = _tanfov(cam)
+
     def loss(means3d, offs):
         img, _ = rasterize(
             means3d, jnp.asarray(scales), jnp.asarray(quats),
             jnp.asarray(opac), jnp.asarray(colors), vm, pm, jnp.zeros(3), s,
-            screenspace_offset=offs,
+            tanfovx=tx, tanfovy=ty, screenspace_offset=offs,
         )
         return jnp.mean(img)
 
