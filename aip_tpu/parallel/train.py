@@ -96,10 +96,12 @@ def shard_train_setup(mesh, vgg_params, dec_params, optimizer):
     return vgg_params, state
 
 
-def compile_train_step(mesh, optimizer, vgg_params, batch_shape,
-                       compute_dtype=jnp.float32):
+def compile_train_step(mesh, optimizer, vgg_params, batch_shape=None,
+                       compute_dtype=jnp.float32,
+                       style_weight: float = 10.0, content_weight: float = 1.0):
     """jit the step with explicit in/out shardings for the image batch."""
-    step = make_train_step(optimizer, vgg_params, compute_dtype)
+    step = make_train_step(optimizer, vgg_params, compute_dtype,
+                           style_weight, content_weight)
     data_shard = batch_sharding(mesh)
     return jax.jit(
         step,
