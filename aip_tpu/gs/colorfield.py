@@ -140,8 +140,13 @@ def predict_sh(params: ColorFieldParams, xyz: jax.Array,
         enc = hash_encode(params.hash_tables, x01)
     else:
         enc = precomputed_enc
-    if params.style_w is not None and style_f is not None:
-        emb = style_embedding(params, style_f)
+    if params.style_w is not None:
+        if style_f is None:
+            # Style-conditioned field queried without a style: condition on a
+            # zero embedding rather than failing with a shape error.
+            emb = jnp.zeros((1, params.style_w.shape[1]))
+        else:
+            emb = style_embedding(params, style_f)
         enc = jnp.concatenate(
             [enc, jnp.broadcast_to(emb, (enc.shape[0], emb.shape[1]))], axis=1
         )

@@ -36,6 +36,7 @@ def run_3dgs_training(
     capacity: int = 1 << 17,
     log2_hashmap: int = 19,
     progress_every: int = 500,
+    img_size: int = 512,
     seed: int = 0,
 ) -> str:
     """Train a stylized 3DGS scene; saves a compressed model. Returns
@@ -49,7 +50,7 @@ def run_3dgs_training(
     trainer, style_f = train(
         scene, style_img_path, cfg,
         use_depth=use_depth, depth_offset=depth_offset,
-        depth_prominence=depth_prominence,
+        depth_prominence=depth_prominence, img_size=img_size,
         guide_dir=str(Path(model_path) / "stylized"),
         progress_every=progress_every, seed=seed,
     )

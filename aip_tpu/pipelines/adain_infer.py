@@ -134,6 +134,34 @@ def stylize_with_stats(
     return decoder_apply(dec_params, feat.astype(compute_dtype), compute_dtype).astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("alpha", "compute_dtype"))
+def stylize_interpolated(
+    vgg_params,
+    dec_params,
+    content: jax.Array,
+    styles: jax.Array,
+    interpolation_weights: jax.Array,
+    alpha: float = 1.0,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Style interpolation: blend the AdaIN features of S styles.
+
+    Parity with `AdaIN/test_video.py:30-46` style_transfer with
+    interpolation_weights: per-style AdaIN of the (broadcast) content
+    features, weighted sum, alpha blend with content. content [1, H, W, 3];
+    styles [S, Hs, Ws, 3]; weights [S].
+    """
+    content_f = vgg_encode(vgg_params, content, "relu4_1", compute_dtype)
+    style_f = vgg_encode(vgg_params, styles, "relu4_1", compute_dtype)
+    s = styles.shape[0]
+    content_rep = jnp.broadcast_to(content_f, (s,) + content_f.shape[1:])
+    base = adain(content_rep, style_f).astype(jnp.float32)
+    w = interpolation_weights / jnp.sum(interpolation_weights)
+    feat = jnp.sum(base * w[:, None, None, None], axis=0, keepdims=True)
+    feat = feat * alpha + content_f.astype(jnp.float32) * (1.0 - alpha)
+    return decoder_apply(dec_params, feat.astype(compute_dtype), compute_dtype).astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # Host-side IO wrapper (PIL in, JPEG out) — reference CLI surface
 # ---------------------------------------------------------------------------

@@ -226,6 +226,34 @@ def apply_style_transfer_multi_ada(
     return out_paths
 
 
+def apply_style_transfer_ada(
+    content_dir,
+    style_image_path,
+    output_dir,
+    target_resolution=(256, 256),
+    alpha: float = 0.7,
+    offset: float = 0.30,
+    prominence: float = 20.0,
+    cancel_flag=None,
+    **kw,
+) -> list:
+    """Single-style AdaIN video stylization (video/utils.py:240-302 parity):
+    the multi-style path with a one-style directory."""
+    import tempfile
+    import shutil
+
+    style_dir = Path(tempfile.mkdtemp(prefix="aip_single_style_"))
+    try:
+        shutil.copy(str(style_image_path), style_dir / Path(style_image_path).name)
+        return apply_style_transfer_multi_ada(
+            content_dir, style_dir, output_dir,
+            target_resolution=target_resolution, alpha=alpha,
+            offset=offset, prominence=prominence, cancel_flag=cancel_flag, **kw,
+        )
+    finally:
+        shutil.rmtree(style_dir, ignore_errors=True)
+
+
 def run_style_transfer(
     selected_video="input/videos/sample.mp4",
     styles_dir="input/videos/styles/",
