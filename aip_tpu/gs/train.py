@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass, field as dc_field
+from pathlib import Path
 from typing import NamedTuple
 
 import numpy as np
@@ -294,6 +295,11 @@ def train(
     guide_dir=None,
     progress_every: int = 0,
     seed: int = 0,
+    checkpoint_iterations=(),
+    start_checkpoint=None,
+    checkpoint_dir=None,
+    test_iterations=(),
+    logger=None,
 ):
     """Full two-phase stylized training. Returns (TrainerState, style_f).
 
@@ -306,6 +312,12 @@ def train(
     rng = np.random.default_rng(seed)
     pcd = scene.point_cloud
     trainer = init_trainer(cfg, pcd.points, pcd.colors, scene.cameras_extent, seed)
+    first_iter = 0
+    if start_checkpoint is not None:
+        from aip_tpu.gs.checkpoint import load_checkpoint
+
+        trainer = load_checkpoint(start_checkpoint, trainer)
+        first_iter = int(trainer.step)
 
     bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.white_background else [0.0, 0.0, 0.0])
 
@@ -355,7 +367,7 @@ def train(
 
     stack = []
     key = jax.random.PRNGKey(seed)
-    for it in range(1, cfg.iterations + 1):
+    for it in range(first_iter + 1, cfg.iterations + 1):
         if not stack:
             stack = list(rng.permutation(len(cams)))
         ci = stack.pop()
@@ -393,6 +405,36 @@ def train(
         if progress_every and it % progress_every == 0:
             print(f"iter {it}: loss={float(metrics['loss']):.5f} "
                   f"n={int(trainer.gstate.n_active)}")
+        if logger is not None and it % 10 == 0:
+            logger.scalar("train/loss", float(metrics["loss"]), it)
+            logger.scalar("train/l1", float(metrics["l1"]), it)
+            logger.scalar("train/n_gaussians", int(trainer.gstate.n_active), it)
+
+        # Test-iteration report (training_report parity, train.py:333-415).
+        if it in set(test_iterations):
+            from aip_tpu.ops.metrics import psnr
+
+            mode_ = "train"
+            psnrs, l1s = [], []
+            for ca in cam_arrays[: min(4, len(cam_arrays))]:
+                settings = make_settings_from_dims(
+                    ca.image.shape[0], ca.image.shape[1], cfg)
+                out = render_from_arrays(ca, trainer.gstate, trainer.field, bg,
+                                         style_f, mode_, None, None, settings)
+                img = jnp.clip(out.render, 0.0, 1.0)
+                psnrs.append(float(psnr(img[None], ca.image[None])[0, 0]))
+                l1s.append(float(jnp.mean(jnp.abs(img - ca.image))))
+            if logger is not None:
+                logger.scalar("test/psnr", float(np.mean(psnrs)), it)
+                logger.scalar("test/l1", float(np.mean(l1s)), it)
+            if progress_every:
+                print(f"[ITER {it}] eval: L1 {np.mean(l1s):.4f} PSNR {np.mean(psnrs):.2f}")
+
+        if it in set(checkpoint_iterations):
+            from aip_tpu.gs.checkpoint import save_checkpoint
+
+            ckpt_dir = Path(checkpoint_dir or (Path(guide_out) / "checkpoints"))
+            save_checkpoint(ckpt_dir / f"chkpnt{it}", trainer)
 
     # Final: mask prune + RVQ codebooks (final_prune parity, :607-651).
     trainer = trainer._replace(gstate=G.mask_prune(trainer.gstate))

@@ -102,13 +102,16 @@ def get_feature_extractor(model: str):
     built in; DenseNet/Swin plug in via register_backbone."""
     if model in _EXTRA_BACKBONES:
         return _EXTRA_BACKBONES[model]
-    if model == "ResNet" or model == "DenseNet":
-        # DenseNet falls back to ResNet taps until a DenseNet backbone is
-        # registered (same layer naming contract).
+    if model == "ResNet":
         from aip_tpu.models.resnet import get_resnet50_params, resnet50_features
 
         params = get_resnet50_params()
         return functools.partial(resnet50_features, params)
+    if model == "DenseNet":
+        from aip_tpu.models.densenet import get_densenet121_params, densenet121_features
+
+        params = get_densenet121_params()
+        return functools.partial(densenet121_features, params)
     if model == "VGG":
         from aip_tpu.models.lpips import get_vgg16_params, _extract
 

@@ -110,3 +110,21 @@ def test_custom_backbone_registration(rng):
 def test_swin_unregistered_raises():
     with pytest.raises(NotImplementedError):
         get_feature_extractor("Swin")
+
+
+def test_densenet_extractor_shapes(rng):
+    fx = get_feature_extractor("DenseNet")
+    x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    feats = fx(x)
+    # DenseNet-121 channels: 256/512/1024 after blocks 1-3, 1024 after norm5.
+    assert feats["layer1"].shape == (1, 16, 16, 256)
+    assert feats["layer2"].shape == (1, 8, 8, 512)
+    assert feats["layer3"].shape == (1, 4, 4, 1024)
+    assert feats["layer4"].shape == (1, 2, 2, 1024)
+
+
+def test_style_transfer_densenet_runs(rng):
+    c = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    s = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    out = style_transfer(c, s, model="DenseNet", iterations=2)
+    assert np.isfinite(np.asarray(out)).all()
