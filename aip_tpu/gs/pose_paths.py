@@ -176,6 +176,61 @@ def gaussian_pose(camera, rng: np.random.Generator, mean: float = 0.0,
     return cam
 
 
+def generate_spherical_sample_path(views, azimuthal_rots: float = 1.0,
+                                   polar_rots: float = 0.75, n: int = 10):
+    """Spherical-coordinate sampling sweep (pose_utils.py:475-516)."""
+    poses = _poses_from_views(views)
+    c2w = poses.mean(0)
+    up = _normalize(poses[:, :3, 1].sum(0))
+    rads = np.append(np.percentile(np.abs(poses[:, :3, 3]), 90, 0), 1.0)
+    focal_range = np.linspace(0.5, 3, n * n + 1)
+    render_poses = []
+    index = 0
+    for theta in np.linspace(0.0, 2.0 * np.pi * azimuthal_rots, n + 1)[:-1]:
+        for phi in np.linspace(0.0, np.pi * polar_rots, n + 1)[:-1]:
+            c = c2w[:3, :4] @ (rads * np.array([
+                np.sin(phi) * np.cos(theta),
+                np.sin(phi) * np.sin(theta),
+                np.cos(phi), 1.0,
+            ]))
+            z = _normalize(c - c2w[:3, :4] @ np.array([0, 0, -focal_range[index], 1.0]))
+            rp = np.eye(4)
+            rp[:3] = viewmatrix(z, up, c)
+            rp[:3, 1:3] *= -1
+            render_poses.append(np.linalg.inv(rp))
+            index += 1
+    return render_poses
+
+
+def generate_spherify_path(views, n_frames: int = 120):
+    """LLFF-style spherified orbit (pose_utils.py:325-390 behavior): recenter
+    so cameras sit on a sphere, then orbit at the mean radius/height."""
+    poses = _poses_from_views(views)
+
+    # Point minimizing distance to all camera z-axes == new origin.
+    center = focus_point_fn(poses)
+    positions = poses[:, :3, 3] - center
+    radius = np.mean(np.linalg.norm(positions, axis=1))
+    up = _normalize(poses[:, :3, 1].mean(0))
+    zh = float(np.mean(positions @ up))
+    radcircle = max(np.sqrt(max(radius**2 - zh**2, 1e-6)), 1e-3)
+
+    # Orthonormal frame with 'up' as the axis.
+    a = np.array([1.0, 0, 0]) if abs(up[0]) < 0.9 else np.array([0, 1.0, 0])
+    u = _normalize(np.cross(up, a))
+    v = np.cross(up, u)
+
+    render_poses = []
+    for th in np.linspace(0.0, 2.0 * np.pi, n_frames, endpoint=False):
+        pos = center + radcircle * (np.cos(th) * u + np.sin(th) * v) + zh * up
+        z = _normalize(pos - center)
+        rp = np.eye(4)
+        rp[:3] = viewmatrix(z, up, pos)
+        rp[:3, 1:3] *= -1
+        render_poses.append(np.linalg.inv(rp))
+    return render_poses
+
+
 def generate_spiral_path(views, focal: float = 1.5, zrate: float = 0.0,
                          rots: int = 1, n_frames: int = 600):
     """Forward-facing spiral (pose_utils.py:518-551)."""

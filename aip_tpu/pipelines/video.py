@@ -226,6 +226,63 @@ def apply_style_transfer_multi_ada(
     return out_paths
 
 
+# Hook for an external fast-stylization network (the reference's TF-Hub
+# magenta module, `video/utils.py:14,108-154`). magenta's weights are not
+# redistributable/fetchable here; register a callable
+# fn(frames [N,H,W,3] float01, style [H,W,3] float01) -> [N,H,W,3] to use it.
+_FAST_STYLIZE = None
+
+
+def register_fast_stylizer(fn) -> None:
+    global _FAST_STYLIZE
+    _FAST_STYLIZE = fn
+
+
+def apply_style_transfer(
+    content_dir,
+    style_image_path,
+    output_dir,
+    target_resolution=(256, 256),
+    alpha: float = 0.7,
+    cancel_flag=None,
+    **kw,
+) -> list:
+    """Feed-forward-stylizer video path (video/utils.py:108-154 parity).
+
+    Uses the registered fast stylizer (magenta-equivalent) when available;
+    otherwise falls back to the AdaIN path (same temporal-consistency
+    machinery, different stylization network).
+    """
+    if _FAST_STYLIZE is None:
+        return apply_style_transfer_ada(
+            content_dir, style_image_path, output_dir,
+            target_resolution=target_resolution, alpha=alpha,
+            cancel_flag=cancel_flag, use_depth=False, **kw,
+        )
+    from PIL import Image
+
+    Path(output_dir).mkdir(parents=True, exist_ok=True)
+    names = sorted(f for f in os.listdir(content_dir)
+                   if f.lower().endswith((".jpg", ".jpeg", ".png")))
+    h, w = target_resolution[1], target_resolution[0]
+    frames = np.stack([
+        np.asarray(resize_bilinear(jnp.asarray(_to_array(Path(content_dir) / f)),
+                                   (h, w), antialias=True))
+        for f in names
+    ])
+    style = np.asarray(resize_bilinear(jnp.asarray(_to_array(style_image_path)),
+                                       (h, w), antialias=True))
+    stylized = jnp.asarray(np.asarray(_FAST_STYLIZE(frames, style), np.float32))
+    flows = _batch_flows(jnp.asarray(frames))
+    blended = np.asarray(_temporal_blend(stylized, flows, alpha))
+    out_paths = []
+    for i, name in enumerate(names):
+        p = Path(output_dir) / name
+        Image.fromarray((np.clip(blended[i], 0, 1) * 255).astype(np.uint8)).save(p)
+        out_paths.append(p)
+    return out_paths
+
+
 def apply_style_transfer_ada(
     content_dir,
     style_image_path,
@@ -252,6 +309,18 @@ def apply_style_transfer_ada(
         )
     finally:
         shutil.rmtree(style_dir, ignore_errors=True)
+
+
+def apply_style_transfer_multi(content_dir, style_dir, output_dir,
+                               target_resolution=(256, 256), alpha: float = 0.7,
+                               cancel_flag=None, **kw) -> list:
+    """Multi-style feed-forward variant (video/utils.py:156-215): the
+    AdaIN multi-style path without the depth pass."""
+    return apply_style_transfer_multi_ada(
+        content_dir, style_dir, output_dir,
+        target_resolution=target_resolution, alpha=alpha,
+        cancel_flag=cancel_flag, use_depth=False, **kw,
+    )
 
 
 def run_style_transfer(

@@ -86,3 +86,17 @@ def test_focus_point_near_origin():
     poses = _poses_from_views(views)
     fp = focus_point_fn(poses)
     assert np.linalg.norm(fp) < 0.5, fp
+
+
+def test_spherify_and_spherical_sample_paths():
+    from aip_tpu.gs.pose_paths import (
+        generate_spherify_path, generate_spherical_sample_path,
+    )
+
+    views = _orbit_views()
+    sp = generate_spherify_path(views, n_frames=16)
+    assert len(sp) == 16
+    assert all(np.isfinite(p).all() for p in sp)
+    ss = generate_spherical_sample_path(views, n=3)
+    assert len(ss) == 9
+    assert all(np.isfinite(p).all() for p in ss)
