@@ -246,6 +246,33 @@ def composite_tiles(sel_idx, sel_depth, mean2d, conics, colors, opacities,
     return img[: settings.image_height, : settings.image_width]
 
 
+def composite_tiles_fast(sel_idx, mean2d, conics, colors, opacities,
+                         bg_color, settings: RasterSettings,
+                         interpret: bool = False):
+    """Pallas-kernel compositing (inference fast path): gathers the per-tile
+    candidate attributes and streams them through VMEM
+    (aip_tpu.ops.pallas.composite). Not differentiable — training uses
+    composite_tiles."""
+    from aip_tpu.ops.pallas.composite import composite_tiles_pallas
+
+    th, tw = _tile_grid(settings)
+    n_tiles = th * tw
+
+    slot_valid = sel_idx >= 0
+    safe_idx = jnp.maximum(sel_idx, 0)
+    tile_x0 = ((jnp.arange(n_tiles) % tw) * TILE).astype(jnp.float32)
+    tile_y0 = ((jnp.arange(n_tiles) // tw) * TILE).astype(jnp.float32)
+    origins = jnp.stack([tile_x0, tile_y0], axis=1)
+
+    tiles = composite_tiles_pallas(
+        origins, mean2d[safe_idx], conics[safe_idx], colors[safe_idx],
+        opacities[safe_idx], slot_valid, bg_color, interpret=interpret,
+    )
+    img = tiles.reshape(th, tw, TILE, TILE, 3).transpose(0, 2, 1, 3, 4)
+    img = img.reshape(th * TILE, tw * TILE, 3)
+    return img[: settings.image_height, : settings.image_width]
+
+
 @functools.partial(jax.jit, static_argnames=("settings",))
 def rasterize(
     means3d: jax.Array,
@@ -280,4 +307,34 @@ def rasterize(
     )
     img = composite_tiles(sel_idx, sel_depth, mean2d, conics, colors,
                           opacities, bg_color, settings)
+    return img, radii
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "interpret"))
+def rasterize_fast(
+    means3d: jax.Array,
+    scales: jax.Array,
+    rotations: jax.Array,
+    opacities: jax.Array,
+    colors: jax.Array,
+    viewmatrix: jax.Array,
+    projmatrix: jax.Array,
+    bg_color: jax.Array,
+    settings: RasterSettings,
+    tanfovx=1.0,
+    tanfovy=1.0,
+    scale_modifier=1.0,
+    interpret: bool = False,
+):
+    """Inference rasterization with the Pallas compositing kernel.
+
+    Same forward semantics as rasterize(); not differentiable.
+    """
+    mean2d, depths, conics, radii, valid = project_gaussians(
+        means3d, scales, rotations, viewmatrix, projmatrix,
+        tanfovx, tanfovy, settings, scale_modifier,
+    )
+    sel_idx, _ = select_per_tile(mean2d, depths, radii, valid, settings)
+    img = composite_tiles_fast(sel_idx, mean2d, conics, colors, opacities,
+                               bg_color, settings, interpret=interpret)
     return img, radii

@@ -67,6 +67,7 @@ def render(
     precomputed_enc: jax.Array | None = None,
     tanfovx=None,
     tanfovy=None,
+    use_pallas: bool = False,
 ) -> RenderOutput:
     if settings is None:
         settings = make_settings(camera)
@@ -105,10 +106,19 @@ def render(
     sh = predict_sh(field, xyz, style_f, precomputed_enc=precomputed_enc)
     colors = _sh_colors(sh, xyz, campos)
 
-    img, radii = rasterize(
-        xyz, scales, rotations, opacity, colors, vm, pm,
-        jnp.asarray(bg_color, jnp.float32), settings,
-        tanfovx=tanfovx, tanfovy=tanfovy, scale_modifier=scaling_modifier,
-        screenspace_offset=screenspace_offset,
-    )
+    if use_pallas and mode == "inference":
+        from aip_tpu.gs.rasterizer import rasterize_fast
+
+        img, radii = rasterize_fast(
+            xyz, scales, rotations, opacity, colors, vm, pm,
+            jnp.asarray(bg_color, jnp.float32), settings,
+            tanfovx=tanfovx, tanfovy=tanfovy, scale_modifier=scaling_modifier,
+        )
+    else:
+        img, radii = rasterize(
+            xyz, scales, rotations, opacity, colors, vm, pm,
+            jnp.asarray(bg_color, jnp.float32), settings,
+            tanfovx=tanfovx, tanfovy=tanfovy, scale_modifier=scaling_modifier,
+            screenspace_offset=screenspace_offset,
+        )
     return RenderOutput(render=img, radii=radii, visibility=(radii > 0) & active)

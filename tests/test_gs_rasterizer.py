@@ -175,3 +175,28 @@ def test_gradients_flow(rng):
     assert np.isfinite(np.asarray(g_off)).all()
     assert np.abs(np.asarray(g_xyz)).max() > 0
     assert np.abs(np.asarray(g_off)).max() > 0
+
+
+def test_rasterize_fast_matches_xla_path(rng):
+    """Pallas compositing (interpret mode on CPU) == XLA compositing."""
+    from aip_tpu.gs.rasterizer import rasterize_fast
+
+    cam = _camera(w=32, h=32)
+    s = _settings(cam, k=16, chunk=16)
+    means, scales, quats, opac, colors = _scene(rng, n=10)
+    vm = jnp.asarray(cam.world_view_transform)
+    pm = jnp.asarray(cam.full_proj_transform)
+    tx, ty = _tanfov(cam)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+
+    ref, _ = rasterize(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(opac), jnp.asarray(colors), vm, pm, bg, s,
+        tanfovx=tx, tanfovy=ty,
+    )
+    fast, _ = rasterize_fast(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(opac), jnp.asarray(colors), vm, pm, bg, s,
+        tanfovx=tx, tanfovy=ty, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-5)
