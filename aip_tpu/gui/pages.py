@@ -137,7 +137,9 @@ class PipelinePage:
 
 
 class AdainPage(PipelinePage):
-    """Page 1 (first_page/GUI.py): AdaIN with depth controls + 3DGS hooks."""
+    """Page 1 (first_page/GUI.py): AdaIN with depth controls + 3DGS
+    train/render (the reference page launches 3DGS and plays the GIF,
+    gui/first_page.py:103-121)."""
 
     title = "2D Stylization (AdaIN)"
 
@@ -147,9 +149,20 @@ class AdainPage(PipelinePage):
             Slider((420, 540, 160, 8), "depth offset", 0.0, 1.0, 0.5),
             Slider((620, 540, 160, 8), "prominence", 1.0, 100.0, 20.0),
         ]
-        self.radios = [RadioGroup(["simple", "depth-aware"], 0)]
+        self.radios = [RadioGroup(["simple", "depth-aware", "3DGS scene"], 0)]
 
     def run_pipeline(self):
+        if self.radios[0].selected == 2:
+            # content_path is a scene directory for the 3DGS mode.
+            from pathlib import Path as _P
+
+            from aip_tpu.gs.pipeline import run_3dgs_training, run_3dgs_rendering
+
+            scene_dir = str(_P(self.content_path).parent
+                            if _P(self.content_path).is_file() else self.content_path)
+            model = run_3dgs_training(scene_dir, self.style_path,
+                                      model_path="output/gui_3dgs")
+            return run_3dgs_rendering(self.style_path, model)
         from aip_tpu.pipelines.adain_infer import adain_inference
 
         return adain_inference(
