@@ -190,6 +190,84 @@ def save_npz(path, state: G.GaussianState, field, rvq_scale: rvq_mod.RVQState,
     return report
 
 
+def save_ply(path, state: G.GaussianState, field=None, style_f=None) -> str:
+    """Standard 3DGS PLY export (gaussian_model.save_ply parity, :254-293):
+    bakes the (style-conditioned) neural SH into f_dc/f_rest attributes so
+    external 3DGS viewers can load the stylized scene."""
+    from aip_tpu.gs.dataset import write_ply
+
+    active = np.asarray(state.active)
+    xyz = np.asarray(state.xyz)[active]
+    opacity = np.asarray(state.opacity)[active]
+    scaling = np.asarray(state.scaling)[active]
+    rotation = np.asarray(state.rotation)[active]
+
+    extra = {}
+    if field is not None:
+        from aip_tpu.gs.colorfield import predict_sh
+
+        sh = np.asarray(predict_sh(field, jnp.asarray(xyz), style_f))  # [n,16,3]
+        f_dc = sh[:, 0, :]                    # [n, 3]
+        f_rest = sh[:, 1:, :].transpose(0, 2, 1).reshape(len(xyz), -1)  # [n, 45]
+        for i in range(3):
+            extra[f"f_dc_{i}"] = f_dc[:, i]
+        for i in range(f_rest.shape[1]):
+            extra[f"f_rest_{i}"] = f_rest[:, i]
+    extra["opacity"] = opacity[:, 0]
+    for i in range(3):
+        extra[f"scale_{i}"] = scaling[:, i]
+    for i in range(4):
+        extra[f"rot_{i}"] = rotation[:, i]
+
+    write_ply(path, xyz, rgb=None, extra=extra)
+    return str(path)
+
+
+def load_ply(path, capacity: int | None = None):
+    """Load a standard 3DGS PLY (gaussian_model.load_ply parity, :398-432).
+
+    Returns (GaussianState, baked_sh [C, 16, 3] or None)."""
+    from aip_tpu.gs.dataset import read_ply
+
+    d = read_ply(path)
+    n = len(d["x"])
+    cap = capacity or n
+    xyz = np.stack([d["x"], d["y"], d["z"]], 1).astype(np.float32)
+    opacity = d.get("opacity", np.zeros(n)).astype(np.float32)[:, None]
+    scaling = np.stack([d[f"scale_{i}"] for i in range(3)], 1).astype(np.float32)
+    rotation = np.stack([d[f"rot_{i}"] for i in range(4)], 1).astype(np.float32)
+
+    sh = None
+    if "f_dc_0" in d:
+        f_dc = np.stack([d[f"f_dc_{i}"] for i in range(3)], 1)
+        n_rest = len([k for k in d if k.startswith("f_rest_")])
+        if n_rest:
+            f_rest = np.stack([d[f"f_rest_{i}"] for i in range(n_rest)], 1)
+            f_rest = f_rest.reshape(n, 3, n_rest // 3).transpose(0, 2, 1)
+        else:
+            f_rest = np.zeros((n, 15, 3))
+        sh = np.concatenate([f_dc[:, None, :], f_rest], axis=1).astype(np.float32)
+        if cap > n:
+            sh = np.pad(sh, ((0, cap - n), (0, 0), (0, 0)))
+        sh = jnp.asarray(sh)
+
+    def pad(x, fill=0.0):
+        return np.pad(x, [(0, cap - n)] + [(0, 0)] * (x.ndim - 1), constant_values=fill)
+
+    state = G.GaussianState(
+        xyz=jnp.asarray(pad(xyz)),
+        scaling=jnp.asarray(pad(scaling)),
+        rotation=jnp.asarray(pad(rotation)).at[n:, 0].set(1.0),
+        opacity=jnp.asarray(pad(opacity, -10.0)),
+        mask=jnp.asarray(pad(np.ones((n, 1), np.float32))),
+        active=jnp.arange(cap) < n,
+        max_radii2d=jnp.zeros(cap),
+        xyz_grad_accum=jnp.zeros((cap, 1)),
+        denom=jnp.zeros((cap, 1)),
+    )
+    return state, sh
+
+
 def load_npz(path, capacity: int | None = None):
     """Load a compressed checkpoint. Returns (GaussianState, field arrays
     dict, rvq states). Scales/rotations are decoded from RVQ indices."""

@@ -281,6 +281,8 @@ class Scene:
             random.shuffle(self.scene_info.train_cameras)
             random.shuffle(self.scene_info.test_cameras)
 
+        self.model_path = None  # set by trainers that persist cameras.json
+
         self.cameras_extent = self.scene_info.nerf_normalization["radius"]
         self.train_cameras = {}
         self.test_cameras = {}
@@ -293,6 +295,32 @@ class Scene:
                 load_camera(c, scale, resolution, uid=i)
                 for i, c in enumerate(self.scene_info.test_cameras)
             ]
+
+    def dump_cameras_json(self, model_path) -> str:
+        """Persist camera poses (scene/__init__.py:57-63 +
+        camera_utils.camera_to_JSON parity)."""
+        entries = []
+        for i, info in enumerate(self.scene_info.train_cameras
+                                 + self.scene_info.test_cameras):
+            rt = np.zeros((4, 4))
+            rt[:3, :3] = info.R.transpose()
+            rt[:3, 3] = info.T
+            rt[3, 3] = 1.0
+            c2w = np.linalg.inv(rt)
+            pos = c2w[:3, 3]
+            rot = c2w[:3, :3]
+            entries.append({
+                "id": i, "img_name": info.image_name,
+                "width": info.width, "height": info.height,
+                "position": pos.tolist(),
+                "rotation": [r.tolist() for r in rot],
+                "fy": fov2focal(info.FovY, info.height),
+                "fx": fov2focal(info.FovX, info.width),
+            })
+        path = Path(model_path) / "cameras.json"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(entries))
+        return str(path)
 
     @property
     def point_cloud(self) -> BasicPointCloud:

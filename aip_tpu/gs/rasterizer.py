@@ -260,15 +260,13 @@ def composite_tiles_fast(sel_idx, mean2d, conics, colors, opacities,
 
     slot_valid = sel_idx >= 0
     safe_idx = jnp.maximum(sel_idx, 0)
-    tile_x0 = ((jnp.arange(n_tiles) % tw) * TILE).astype(jnp.float32)
-    tile_y0 = ((jnp.arange(n_tiles) // tw) * TILE).astype(jnp.float32)
-    origins = jnp.stack([tile_x0, tile_y0], axis=1)
 
     tiles = composite_tiles_pallas(
-        origins, mean2d[safe_idx], conics[safe_idx], colors[safe_idx],
-        opacities[safe_idx], slot_valid, bg_color, interpret=interpret,
-    )
-    img = tiles.reshape(th, tw, TILE, TILE, 3).transpose(0, 2, 1, 3, 4)
+        mean2d[safe_idx], conics[safe_idx], colors[safe_idx],
+        opacities[safe_idx], slot_valid, bg_color, tile_w=tw,
+        interpret=interpret,
+    )  # [T, 3, TILE, TILE]
+    img = tiles.reshape(th, tw, 3, TILE, TILE).transpose(0, 3, 1, 4, 2)
     img = img.reshape(th * TILE, tw * TILE, 3)
     return img[: settings.image_height, : settings.image_width]
 

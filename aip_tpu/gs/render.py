@@ -68,6 +68,7 @@ def render(
     tanfovx=None,
     tanfovy=None,
     use_pallas: bool = False,
+    sh_override: jax.Array | None = None,
 ) -> RenderOutput:
     if settings is None:
         settings = make_settings(camera)
@@ -103,7 +104,12 @@ def render(
     # Inactive slots contribute nothing.
     opacity = jnp.where(active, opacity, 0.0)
 
-    sh = predict_sh(field, xyz, style_f, precomputed_enc=precomputed_enc)
+    if sh_override is not None:
+        # Baked SH (e.g. loaded from a standard 3DGS PLY) instead of the
+        # neural field (reference override_color parameter).
+        sh = sh_override
+    else:
+        sh = predict_sh(field, xyz, style_f, precomputed_enc=precomputed_enc)
     colors = _sh_colors(sh, xyz, campos)
 
     if use_pallas and mode == "inference":

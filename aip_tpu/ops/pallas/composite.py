@@ -1,19 +1,19 @@
 """Pallas tile-compositing kernel for the Gaussian rasterizer.
 
 The pure-XLA compositing path (aip_tpu.gs.rasterizer.composite_tiles)
-materializes a [tiles, K, 256] alpha tensor plus its cumprod in HBM —
-~0.5 GB of traffic per 512px frame at K=128. This kernel instead streams
-each tile's K candidates through VMEM and walks them front-to-back with an
-in-register transmittance carry, so HBM traffic is just the candidate list
-in and the tile pixels out (~250x less).
+materializes [tiles, K, 256] alpha/transmittance tensors in HBM — at 1080p
+and K=128 that is ~1 GB of traffic per frame and it renders at <1 FPS. This
+kernel instead streams each tile's K candidates through VMEM and walks them
+front-to-back with an in-register transmittance carry, so HBM traffic is
+just the candidate list in and the tile pixels out.
 
-Grid: one program per tile. Per-program blocks: the tile's [K] candidate
-attributes; output block [TILE*TILE, 3]. The K-walk is a `fori_loop` of
-[256]-lane VPU ops (exp/mul/add), which Mosaic vectorizes across the pixel
-dimension.
+Grid: one program per tile; the tile origin is derived from
+``pl.program_id`` (grid width is a compile-time constant). Per-program
+blocks hold the tile's [K, .] candidate attributes; the K-walk is a
+`fori_loop` of [TILE, TILE]-shaped VPU ops.
 
-Forward-only: the training path keeps the autodiff-friendly XLA composite;
-inference rendering (the FPS-critical path) calls this kernel.
+Forward-only: training keeps the autodiff-friendly XLA composite; inference
+rendering (the FPS-critical path) calls this kernel.
 """
 
 from __future__ import annotations
@@ -29,79 +29,86 @@ TILE = 16
 P = TILE * TILE  # pixels per tile
 
 
-def _composite_kernel(origin_ref, mean_ref, conic_ref, color_ref, op_ref,
-                      valid_ref, bg_ref, out_ref):
-    k = mean_ref.shape[0]
+def _make_kernel(tile_w: int):
+    def kernel(mean_ref, conic_ref, color_ref, op_ref, valid_ref, bg_ref, out_ref):
+        k = mean_ref.shape[0]
+        tile_id = pl.program_id(0)
+        x0 = ((tile_id % tile_w) * TILE).astype(jnp.float32)
+        y0 = ((tile_id // tile_w) * TILE).astype(jnp.float32)
 
-    # Pixel coordinates for this tile: [P] each.
-    row = jax.lax.broadcasted_iota(jnp.float32, (TILE, TILE), 0).reshape(P)
-    col = jax.lax.broadcasted_iota(jnp.float32, (TILE, TILE), 1).reshape(P)
-    px = col + origin_ref[0, 0]
-    py = row + origin_ref[0, 1]
+        # Pixel coordinates for this tile: [TILE, TILE].
+        row = jax.lax.broadcasted_iota(jnp.float32, (TILE, TILE), 0)
+        col = jax.lax.broadcasted_iota(jnp.float32, (TILE, TILE), 1)
+        px = col + x0
+        py = row + y0
 
-    def body(i, carry):
-        trans, rgb = carry  # [P], [P, 3]
-        mx = mean_ref[i, 0]
-        my = mean_ref[i, 1]
-        ca = conic_ref[i, 0]
-        cb = conic_ref[i, 1]
-        cc = conic_ref[i, 2]
-        dx = px - mx
-        dy = py - my
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        power = jnp.minimum(power, 0.0)
-        alpha = jnp.minimum(0.99, op_ref[i] * jnp.exp(power))
-        alpha = jnp.where(valid_ref[i] > 0, alpha, 0.0)
-        alpha = jnp.where(alpha < (1.0 / 255.0), 0.0, alpha)
-        # CUDA parity: contributions stop once transmittance < 1e-4.
-        contrib = jnp.where(trans > 1e-4, alpha * trans, 0.0)
-        rgb = rgb + contrib[:, None] * color_ref[i][None, :]
-        trans = trans * (1.0 - alpha)
-        return trans, rgb
+        def body(i, carry):
+            trans, r, g, b = carry  # each [TILE, TILE]
+            mx = mean_ref[i, 0]
+            my = mean_ref[i, 1]
+            ca = conic_ref[i, 0]
+            cb = conic_ref[i, 1]
+            cc = conic_ref[i, 2]
+            dx = px - mx
+            dy = py - my
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            power = jnp.minimum(power, 0.0)
+            alpha = jnp.minimum(0.99, op_ref[i, 0] * jnp.exp(power))
+            alpha = jnp.where(valid_ref[i, 0] > 0, alpha, 0.0)
+            alpha = jnp.where(alpha < (1.0 / 255.0), 0.0, alpha)
+            contrib = jnp.where(trans > 1e-4, alpha * trans, 0.0)
+            r = r + contrib * color_ref[i, 0]
+            g = g + contrib * color_ref[i, 1]
+            b = b + contrib * color_ref[i, 2]
+            trans = trans * (1.0 - alpha)
+            return trans, r, g, b
 
-    trans0 = jnp.ones((P,), jnp.float32)
-    rgb0 = jnp.zeros((P, 3), jnp.float32)
-    trans, rgb = jax.lax.fori_loop(0, k, body, (trans0, rgb0))
-    out_ref[:, :] = rgb + trans[:, None] * bg_ref[0][None, :]
+        zeros = jnp.zeros((TILE, TILE), jnp.float32)
+        trans, r, g, b = jax.lax.fori_loop(
+            0, k, body, (jnp.ones((TILE, TILE), jnp.float32), zeros, zeros, zeros)
+        )
+        out_ref[0] = r + trans * bg_ref[0, 0]
+        out_ref[1] = g + trans * bg_ref[0, 1]
+        out_ref[2] = b + trans * bg_ref[0, 2]
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("tile_w", "interpret"))
 def composite_tiles_pallas(
-    tile_origins: jax.Array,  # [T, 2] float (x0, y0)
     g_mean: jax.Array,        # [T, K, 2]
     g_conic: jax.Array,       # [T, K, 3]
     g_color: jax.Array,       # [T, K, 3]
     g_op: jax.Array,          # [T, K]
     slot_valid: jax.Array,    # [T, K] (bool/int)
     bg_color: jax.Array,      # [3]
+    tile_w: int,
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns [T, P, 3] composited tile pixels."""
+    """Returns [T, 3, TILE, TILE] composited tile pixels."""
     t, k, _ = g_mean.shape
     bg = jnp.broadcast_to(bg_color.astype(jnp.float32)[None, :], (1, 3))
 
     return pl.pallas_call(
-        _composite_kernel,
+        _make_kernel(tile_w),
         grid=(t,),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((None, k, 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, k, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((None, k, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, k, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, k, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((None, P, 3), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((None, 3, TILE, TILE), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, P, 3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t, 3, TILE, TILE), jnp.float32),
         interpret=interpret,
     )(
-        tile_origins.astype(jnp.float32),
         g_mean.astype(jnp.float32),
         g_conic.astype(jnp.float32),
         g_color.astype(jnp.float32),
-        g_op.astype(jnp.float32),
-        slot_valid.astype(jnp.float32),
+        g_op.astype(jnp.float32)[:, :, None],
+        slot_valid.astype(jnp.float32)[:, :, None],
         bg,
     )

@@ -112,3 +112,69 @@ def test_train_save_render_pipeline(tmp_path, rng, monkeypatch):
                              max_per_tile=16)
     assert Path(gif).exists()
     assert (model_dir / "renders" / "00000.png").exists()
+
+
+def test_ply_export_import_roundtrip(tmp_path, rng):
+    from aip_tpu.gs.compress import save_ply, load_ply
+
+    pts = jnp.asarray(rng.standard_normal((30, 3)).astype(np.float32))
+    cols = jnp.asarray(rng.random((30, 3)).astype(np.float32))
+    state, _ = G.create_from_pcd(pts, cols, capacity=32)
+    field = init_colorfield(jax.random.PRNGKey(0), style_dim=None, log2_hashmap=10)
+
+    p = save_ply(tmp_path / "scene.ply", state, field)
+    state2, sh = load_ply(p, capacity=32)
+    assert int(state2.n_active) == 30
+    assert sh.shape == (32, 16, 3)
+    a = np.sort(np.asarray(state.xyz[state.active]), axis=0)
+    b = np.sort(np.asarray(state2.xyz[state2.active]), axis=0)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+    # Baked SH matches the field's prediction.
+    from aip_tpu.gs.colorfield import predict_sh
+
+    expect = np.asarray(predict_sh(field, state2.xyz[:30], None))
+    np.testing.assert_allclose(np.asarray(sh[:30]), expect, atol=1e-5)
+
+
+def test_render_with_sh_override(tmp_path, rng):
+    from aip_tpu.gs.compress import save_ply, load_ply
+    from aip_tpu.gs.render import render
+    from aip_tpu.gs.rasterizer import RasterSettings
+    from aip_tpu.gs.cameras import Camera
+
+    pts = jnp.asarray((rng.standard_normal((20, 3)) * 0.5).astype(np.float32))
+    cols = jnp.asarray(rng.random((20, 3)).astype(np.float32))
+    state, _ = G.create_from_pcd(pts, cols, capacity=32)
+    field = init_colorfield(jax.random.PRNGKey(0), style_dim=None, log2_hashmap=10)
+    p = save_ply(tmp_path / "s.ply", state, field)
+    state2, sh = load_ply(p, capacity=32)
+
+    cam = Camera(colmap_id=0, R=np.eye(3), T=np.array([0.0, 0.0, 3.0]),
+                 FoVx=0.8, FoVy=0.8, image=np.zeros((32, 32, 3), np.float32),
+                 image_name="t", uid=0)
+    out = render(cam, state2, None, jnp.zeros(3), mode="inference",
+                 settings=RasterSettings(32, 32, max_per_tile=16),
+                 sh_override=sh)
+    assert np.isfinite(np.asarray(out.render)).all()
+
+
+def test_cameras_json_dump(tmp_path, rng):
+    import json as _json
+    from PIL import Image
+    from aip_tpu.gs.dataset import Scene
+
+    (tmp_path / "images").mkdir()
+    frames = []
+    for i in range(2):
+        c2w = np.eye(4); c2w[2, 3] = 2.0
+        frames.append({"file_path": f"./images/r_{i}", "transform_matrix": c2w.tolist()})
+        Image.fromarray((rng.random((16, 16, 4)) * 255).astype(np.uint8)).save(
+            tmp_path / "images" / f"r_{i}.png")
+    (tmp_path / "transforms_train.json").write_text(
+        _json.dumps({"camera_angle_x": 0.8, "frames": frames}))
+    scene = Scene(str(tmp_path), shuffle=False)
+    path = scene.dump_cameras_json(tmp_path / "model")
+    data = _json.loads(open(path).read())
+    assert len(data) == 2
+    assert {"id", "img_name", "position", "rotation", "fx", "fy"} <= set(data[0])
