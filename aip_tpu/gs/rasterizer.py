@@ -53,6 +53,10 @@ class RasterSettings(NamedTuple):
     image_width: int
     max_per_tile: int = 128
     chunk: int = 4096
+    # Hierarchical selection: bin into (macro x macro)-tile blocks first,
+    # then refine per tile from the macro candidate list. macro=1 disables.
+    macro: int = 1
+    macro_capacity: int = 1024
 
 
 def project_gaussians(
@@ -246,6 +250,68 @@ def composite_tiles(sel_idx, sel_depth, mean2d, conics, colors, opacities,
     return img[: settings.image_height, : settings.image_width]
 
 
+def select_per_tile_hierarchical(mean2d, depths, radii, valid,
+                                 settings: RasterSettings):
+    """Two-level candidate selection.
+
+    Phase 1 bins Gaussians into macro blocks of (macro x macro) tiles with a
+    chunked top-K_c merge (few macro blocks -> cheap). Phase 2 refines each
+    16px tile against only its macro block's K_c candidates — one top_k over
+    K_c instead of over every chunk. At 1080p/100k Gaussians this replaces
+    13 top_k passes over ~8k keys per tile with one pass over K_c.
+
+    Returns (idx [tiles, K], depth [tiles, K]) like select_per_tile.
+    """
+    th, tw = _tile_grid(settings)
+    k = settings.max_per_tile
+    m = settings.macro
+    kc = settings.macro_capacity
+
+    # ---- Phase 1: macro binning via the existing chunk-merge machinery.
+    mth = math.ceil(th / m)
+    mtw = math.ceil(tw / m)
+    # Reuse select_per_tile with a virtual tile size of m*TILE by scaling
+    # coordinates down by m; the macro grid is mth x mtw TILE-sized tiles in
+    # that scaled space.
+    macro_settings = RasterSettings(
+        image_height=mth * TILE, image_width=mtw * TILE,
+        max_per_tile=kc, chunk=settings.chunk,
+    )
+    macro_idx, _ = select_per_tile(
+        mean2d / m, depths, radii / m, valid, macro_settings
+    )  # [mth*mtw, kc]
+
+    # ---- Phase 2: per fine tile, filter its macro's candidates.
+    n_tiles = th * tw
+    tile_x0 = ((jnp.arange(n_tiles) % tw) * TILE).astype(jnp.float32)
+    tile_y0 = ((jnp.arange(n_tiles) // tw) * TILE).astype(jnp.float32)
+    macro_of_tile = (jnp.arange(n_tiles) // tw // m) * mtw + (jnp.arange(n_tiles) % tw) // m
+
+    cand = macro_idx[macro_of_tile]          # [T, Kc]
+    cvalid = cand >= 0
+    safe = jnp.maximum(cand, 0)
+    cm = mean2d[safe]                        # [T, Kc, 2]
+    cr = radii[safe]
+    cd = depths[safe]
+
+    ox = (cm[..., 0] + cr >= tile_x0[:, None]) & (cm[..., 0] - cr < tile_x0[:, None] + TILE)
+    oy = (cm[..., 1] + cr >= tile_y0[:, None]) & (cm[..., 1] - cr < tile_y0[:, None] + TILE)
+    hit = ox & oy & cvalid & (cr > 0)
+    key = jnp.where(hit, cd, jnp.inf)
+
+    neg_top, pos = jax.lax.top_k(-key, k)
+    sel_d = -neg_top
+    sel_i = jnp.take_along_axis(cand, pos, axis=1)
+    sel_i = jnp.where(jnp.isinf(sel_d), -1, sel_i)
+    return sel_i, sel_d
+
+
+def _select(mean2d, depths, radii, valid, settings: RasterSettings):
+    if settings.macro > 1:
+        return select_per_tile_hierarchical(mean2d, depths, radii, valid, settings)
+    return select_per_tile(mean2d, depths, radii, valid, settings)
+
+
 def composite_tiles_fast(sel_idx, mean2d, conics, colors, opacities,
                          bg_color, settings: RasterSettings,
                          interpret: bool = False):
@@ -299,7 +365,7 @@ def rasterize(
     )
     if screenspace_offset is not None:
         mean2d = mean2d + screenspace_offset
-    sel_idx, sel_depth = select_per_tile(
+    sel_idx, sel_depth = _select(
         mean2d, jax.lax.stop_gradient(depths), jax.lax.stop_gradient(radii),
         valid, settings,
     )
@@ -332,7 +398,7 @@ def rasterize_fast(
         means3d, scales, rotations, viewmatrix, projmatrix,
         tanfovx, tanfovy, settings, scale_modifier,
     )
-    sel_idx, _ = select_per_tile(mean2d, depths, radii, valid, settings)
+    sel_idx, _ = _select(mean2d, depths, radii, valid, settings)
     img = composite_tiles_fast(sel_idx, mean2d, conics, colors, opacities,
                                bg_color, settings, interpret=interpret)
     return img, radii

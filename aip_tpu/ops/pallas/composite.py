@@ -36,9 +36,10 @@ def _make_kernel(tile_w: int):
         x0 = ((tile_id % tile_w) * TILE).astype(jnp.float32)
         y0 = ((tile_id // tile_w) * TILE).astype(jnp.float32)
 
-        # Pixel coordinates for this tile: [TILE, TILE].
-        row = jax.lax.broadcasted_iota(jnp.float32, (TILE, TILE), 0)
-        col = jax.lax.broadcasted_iota(jnp.float32, (TILE, TILE), 1)
+        # Pixel coordinates for this tile: [TILE, TILE]. (Mosaic iota must
+        # be integer-typed; cast after.)
+        row = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0).astype(jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1).astype(jnp.float32)
         px = col + x0
         py = row + y0
 

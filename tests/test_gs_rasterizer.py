@@ -200,3 +200,25 @@ def test_rasterize_fast_matches_xla_path(rng):
         tanfovx=tx, tanfovy=ty, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-5)
+
+
+def test_hierarchical_selection_matches_flat(rng):
+    """macro>1 selection must produce the same image as flat selection when
+    macro_capacity is not a constraint."""
+    cam = _camera(w=64, h=64)
+    means, scales, quats, opac, colors = _scene(rng, n=40)
+    vm = jnp.asarray(cam.world_view_transform)
+    pm = jnp.asarray(cam.full_proj_transform)
+    tx, ty = _tanfov(cam)
+    bg = jnp.asarray([0.1, 0.1, 0.1])
+
+    s_flat = RasterSettings(64, 64, max_per_tile=48, chunk=16)
+    s_hier = RasterSettings(64, 64, max_per_tile=48, chunk=16,
+                            macro=2, macro_capacity=64)
+    a, _ = rasterize(jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+                     jnp.asarray(opac), jnp.asarray(colors), vm, pm, bg, s_flat,
+                     tanfovx=tx, tanfovy=ty)
+    b, _ = rasterize(jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+                     jnp.asarray(opac), jnp.asarray(colors), vm, pm, bg, s_hier,
+                     tanfovx=tx, tanfovy=ty)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
