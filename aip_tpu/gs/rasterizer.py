@@ -375,6 +375,55 @@ def rasterize(
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "interpret"))
+def rasterize_fused(
+    means3d: jax.Array,
+    scales: jax.Array,
+    rotations: jax.Array,
+    opacities: jax.Array,
+    colors: jax.Array,
+    viewmatrix: jax.Array,
+    projmatrix: jax.Array,
+    bg_color: jax.Array,
+    settings: RasterSettings,
+    tanfovx=1.0,
+    tanfovy=1.0,
+    scale_modifier=1.0,
+    interpret: bool = False,
+):
+    """Fastest inference path: macro binning + a single Pallas kernel that
+    walks each macro block's depth-sorted candidates per tile (the per-tile
+    refinement is fused into the compositing walk — no per-tile top_k or
+    gather). Requires settings.macro > 1. Not differentiable."""
+    from aip_tpu.ops.pallas.composite import composite_from_macro_pallas
+
+    assert settings.macro > 1, "rasterize_fused requires hierarchical settings"
+    mean2d, depths, conics, radii, valid = project_gaussians(
+        means3d, scales, rotations, viewmatrix, projmatrix,
+        tanfovx, tanfovy, settings, scale_modifier,
+    )
+    th, tw = _tile_grid(settings)
+    m = settings.macro
+    mth = math.ceil(th / m)
+    mtw = math.ceil(tw / m)
+    macro_settings = RasterSettings(
+        image_height=mth * TILE, image_width=mtw * TILE,
+        max_per_tile=settings.macro_capacity, chunk=settings.chunk,
+    )
+    macro_idx, _ = select_per_tile(mean2d / m, depths, radii / m, valid,
+                                   macro_settings)
+    mvalid = macro_idx >= 0
+    safe = jnp.maximum(macro_idx, 0)
+    tiles = composite_from_macro_pallas(
+        mean2d[safe], conics[safe], colors[safe], opacities[safe], mvalid,
+        bg_color, n_tiles=th * tw, tile_w=tw, macro=m, macro_tile_w=mtw,
+        interpret=interpret,
+    )
+    img = tiles.reshape(th, tw, 3, TILE, TILE).transpose(0, 3, 1, 4, 2)
+    img = img.reshape(th * TILE, tw * TILE, 3)
+    return img[: settings.image_height, : settings.image_width], radii
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "interpret"))
 def rasterize_fast(
     means3d: jax.Array,
     scales: jax.Array,

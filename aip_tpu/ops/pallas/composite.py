@@ -75,6 +75,59 @@ def _make_kernel(tile_w: int):
     return kernel
 
 
+@functools.partial(jax.jit, static_argnames=("n_tiles", "tile_w", "macro",
+                                             "macro_tile_w", "interpret"))
+def composite_from_macro_pallas(
+    g_mean: jax.Array,        # [M, Kc, 2] per-macro-block candidates (depth-sorted)
+    g_conic: jax.Array,       # [M, Kc, 3]
+    g_color: jax.Array,       # [M, Kc, 3]
+    g_op: jax.Array,          # [M, Kc]
+    slot_valid: jax.Array,    # [M, Kc]
+    bg_color: jax.Array,      # [3]
+    n_tiles: int,
+    tile_w: int,
+    macro: int,
+    macro_tile_w: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Composite each 16px tile directly from its macro block's candidate
+    list. Fuses the per-tile refinement INTO the walk: non-overlapping
+    candidates self-eliminate via the 1/255 alpha cutoff, so there is no
+    per-tile top_k or gather at all. Candidates must be depth-sorted (the
+    macro binning emits them that way). Consecutive tiles share a macro
+    block, so Pallas re-uses the fetched block across grid steps.
+    Returns [n_tiles, 3, TILE, TILE]."""
+    _, kc, _ = g_mean.shape
+    bg = jnp.broadcast_to(bg_color.astype(jnp.float32)[None, :], (1, 3))
+
+    def macro_of(i):
+        return (i // tile_w // macro) * macro_tile_w + (i % tile_w) // macro
+
+    return pl.pallas_call(
+        _make_kernel(tile_w),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((None, kc, 2), lambda i: (macro_of(i), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, kc, 3), lambda i: (macro_of(i), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, kc, 3), lambda i: (macro_of(i), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, kc, 1), lambda i: (macro_of(i), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, kc, 1), lambda i: (macro_of(i), 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((None, 3, TILE, TILE), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 3, TILE, TILE), jnp.float32),
+        interpret=interpret,
+    )(
+        g_mean.astype(jnp.float32),
+        g_conic.astype(jnp.float32),
+        g_color.astype(jnp.float32),
+        g_op.astype(jnp.float32)[:, :, None],
+        slot_valid.astype(jnp.float32)[:, :, None],
+        bg,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("tile_w", "interpret"))
 def composite_tiles_pallas(
     g_mean: jax.Array,        # [T, K, 2]

@@ -222,3 +222,27 @@ def test_hierarchical_selection_matches_flat(rng):
                      jnp.asarray(opac), jnp.asarray(colors), vm, pm, bg, s_hier,
                      tanfovx=tx, tanfovy=ty)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_rasterize_fused_matches_flat(rng):
+    """Fused macro-walk kernel (interpret) == flat XLA path (same scene,
+    capacities unconstrained)."""
+    from aip_tpu.gs.rasterizer import rasterize_fused
+
+    cam = _camera(w=64, h=64)
+    means, scales, quats, opac, colors = _scene(rng, n=30)
+    vm = jnp.asarray(cam.world_view_transform)
+    pm = jnp.asarray(cam.full_proj_transform)
+    tx, ty = _tanfov(cam)
+    bg = jnp.asarray([0.05, 0.05, 0.1])
+
+    s_flat = RasterSettings(64, 64, max_per_tile=40, chunk=16)
+    ref, _ = rasterize(jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+                       jnp.asarray(opac), jnp.asarray(colors), vm, pm, bg, s_flat,
+                       tanfovx=tx, tanfovy=ty)
+    s_fused = RasterSettings(64, 64, max_per_tile=40, chunk=16,
+                             macro=2, macro_capacity=64)
+    fused, _ = rasterize_fused(jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+                               jnp.asarray(opac), jnp.asarray(colors), vm, pm, bg,
+                               s_fused, tanfovx=tx, tanfovy=ty, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
