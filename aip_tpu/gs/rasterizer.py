@@ -374,6 +374,116 @@ def rasterize(
     return img, radii
 
 
+def _composite_macro_matmul(macro_idx, mean2d, conics, colors, opacities,
+                            bg_color, th, tw, m, mtw):
+    """Per-macro-block compositing as MXU matmuls.
+
+    The Gaussian log-density is a quadratic in pixel coordinates, so for a
+    block of P pixels and Kc candidates:
+        power = C[Kc, 6] @ B[6, P]
+    with C the per-candidate polynomial coefficients and B the pixel basis
+    [1, x, y, x^2, y^2, xy]. The weighted color sum is a second matmul
+    W^T[P, Kc] @ colors[Kc, 3]; transmittance is exp(cumsum(log1p(-alpha))).
+    Both big contractions ride the MXU; lax.map over macro blocks bounds
+    the working set. Returns the [H, W, 3] image.
+    """
+    n_blocks, kc = macro_idx.shape
+    bs = m * TILE  # macro block edge in pixels
+    p = bs * bs
+
+    valid = macro_idx >= 0
+    safe = jnp.maximum(macro_idx, 0)
+    gm = mean2d[safe]            # [M, Kc, 2]
+    gc = conics[safe]            # [M, Kc, 3]
+    gcol = colors[safe]          # [M, Kc, 3]
+    gop = jnp.where(valid, opacities[safe], 0.0)  # [M, Kc]
+
+    bx0 = ((jnp.arange(n_blocks) % mtw) * bs).astype(jnp.float32)
+    by0 = ((jnp.arange(n_blocks) // mtw) * bs).astype(jnp.float32)
+
+    # Block-LOCAL means: conditioning for the quadratic basis (coordinates
+    # stay in [0, bs) so px^2 <= bs^2; with global pixel coords the x^2 term
+    # reaches ~4e6 and fp32 matmul precision would be destroyed).
+    mx = gm[..., 0] - bx0[:, None]
+    my = gm[..., 1] - by0[:, None]
+    ca, cb, cc = gc[..., 0], gc[..., 1], gc[..., 2]
+    coeff = jnp.stack([
+        -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my,
+        ca * mx + cb * my,
+        cc * my + cb * mx,
+        -0.5 * ca,
+        -0.5 * cc,
+        -cb,
+    ], axis=-1)  # [M, Kc, 6]
+
+    # Local pixel basis, shared by all blocks: [6, P].
+    yy = jnp.arange(bs, dtype=jnp.float32)
+    py_l, px_l = jnp.meshgrid(yy, yy, indexing="ij")
+    px_l = px_l.reshape(-1)
+    py_l = py_l.reshape(-1)
+    basis = jnp.stack([jnp.ones_like(px_l), px_l, py_l,
+                       px_l * px_l, py_l * py_l, px_l * py_l])
+
+    def block_fn(args):
+        c, col, op = args
+        power = jnp.dot(c, basis,
+                        precision=jax.lax.Precision.HIGHEST)  # [Kc, P] MXU
+        power = jnp.minimum(power, 0.0)
+        alpha = jnp.minimum(0.99, op[:, None] * jnp.exp(power))
+        alpha = jnp.where(alpha < (1.0 / 255.0), 0.0, alpha)
+        log_t = jnp.cumsum(jnp.log1p(-alpha), axis=0)
+        t_exc = jnp.exp(jnp.concatenate([jnp.zeros_like(log_t[:1]), log_t[:-1]]))
+        contrib = jnp.where(t_exc > 1e-4, alpha * t_exc, 0.0)  # [Kc, P]
+        rgb = contrib.T @ col  # [P, 3] on the MXU
+        t_final = jnp.exp(log_t[-1])
+        return rgb + t_final[:, None] * bg_color[None, :]
+
+    blocks = jax.lax.map(block_fn, (coeff, gcol, gop))  # [M, P, 3]
+    mth = n_blocks // mtw
+    img = blocks.reshape(mth, mtw, bs, bs, 3).transpose(0, 2, 1, 3, 4)
+    img = img.reshape(mth * bs, mtw * bs, 3)
+    return img
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def rasterize_matmul(
+    means3d: jax.Array,
+    scales: jax.Array,
+    rotations: jax.Array,
+    opacities: jax.Array,
+    colors: jax.Array,
+    viewmatrix: jax.Array,
+    projmatrix: jax.Array,
+    bg_color: jax.Array,
+    settings: RasterSettings,
+    tanfovx=1.0,
+    tanfovy=1.0,
+    scale_modifier=1.0,
+):
+    """Inference rasterization with matmul-structured macro-block
+    compositing (MXU path). Requires settings.macro > 1."""
+    assert settings.macro > 1, "rasterize_matmul requires hierarchical settings"
+    mean2d, depths, conics, radii, valid = project_gaussians(
+        means3d, scales, rotations, viewmatrix, projmatrix,
+        tanfovx, tanfovy, settings, scale_modifier,
+    )
+    th, tw = _tile_grid(settings)
+    m = settings.macro
+    mth = math.ceil(th / m)
+    mtw = math.ceil(tw / m)
+    macro_settings = RasterSettings(
+        image_height=mth * TILE, image_width=mtw * TILE,
+        max_per_tile=settings.macro_capacity, chunk=settings.chunk,
+    )
+    macro_idx, _ = select_per_tile(mean2d / m, depths, radii / m, valid,
+                                   macro_settings)
+    img = _composite_macro_matmul(macro_idx, mean2d, conics, colors,
+                                  jnp.asarray(opacities, jnp.float32),
+                                  jnp.asarray(bg_color, jnp.float32),
+                                  th, tw, m, mtw)
+    return img[: settings.image_height, : settings.image_width], radii
+
+
 @functools.partial(jax.jit, static_argnames=("settings", "interpret"))
 def rasterize_fused(
     means3d: jax.Array,

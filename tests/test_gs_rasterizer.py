@@ -246,3 +246,25 @@ def test_rasterize_fused_matches_flat(rng):
                                jnp.asarray(opac), jnp.asarray(colors), vm, pm, bg,
                                s_fused, tanfovx=tx, tanfovy=ty, interpret=True)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
+
+
+def test_rasterize_matmul_matches_flat(rng):
+    from aip_tpu.gs.rasterizer import rasterize_matmul
+
+    cam = _camera(w=64, h=64)
+    means, scales, quats, opac, colors = _scene(rng, n=30)
+    vm = jnp.asarray(cam.world_view_transform)
+    pm = jnp.asarray(cam.full_proj_transform)
+    tx, ty = _tanfov(cam)
+    bg = jnp.asarray([0.05, 0.1, 0.05])
+
+    s_flat = RasterSettings(64, 64, max_per_tile=40, chunk=16)
+    ref, _ = rasterize(jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+                       jnp.asarray(opac), jnp.asarray(colors), vm, pm, bg, s_flat,
+                       tanfovx=tx, tanfovy=ty)
+    s_mm = RasterSettings(64, 64, max_per_tile=40, chunk=16,
+                          macro=2, macro_capacity=64)
+    mm, _ = rasterize_matmul(jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+                             jnp.asarray(opac), jnp.asarray(colors), vm, pm, bg,
+                             s_mm, tanfovx=tx, tanfovy=ty)
+    np.testing.assert_allclose(np.asarray(mm), np.asarray(ref), atol=2e-4)
