@@ -68,6 +68,7 @@ def render(
     tanfovx=None,
     tanfovy=None,
     use_pallas: bool = False,
+    renderer: str = "auto",   # 'auto' | 'xla' | 'pallas' | 'matmul'
     sh_override: jax.Array | None = None,
 ) -> RenderOutput:
     if settings is None:
@@ -112,7 +113,19 @@ def render(
         sh = predict_sh(field, xyz, style_f, precomputed_enc=precomputed_enc)
     colors = _sh_colors(sh, xyz, campos)
 
-    if use_pallas and mode == "inference":
+    if renderer == "auto":
+        renderer = "pallas" if use_pallas else "xla"
+    if renderer == "matmul" and mode == "inference":
+        from aip_tpu.gs.rasterizer import rasterize_matmul
+
+        if settings.macro <= 1:
+            settings = settings._replace(macro=4, macro_capacity=512)
+        img, radii = rasterize_matmul(
+            xyz, scales, rotations, opacity, colors, vm, pm,
+            jnp.asarray(bg_color, jnp.float32), settings,
+            tanfovx=tanfovx, tanfovy=tanfovy, scale_modifier=scaling_modifier,
+        )
+    elif renderer == "pallas" and mode == "inference":
         from aip_tpu.gs.rasterizer import rasterize_fast
 
         img, radii = rasterize_fast(

@@ -1,0 +1,82 @@
+"""Secondary benchmark: stylized-3DGS render FPS at 1080p (BASELINE.md
+north-star metric). Compares the rasterizer backends on a synthetic
+100k-Gaussian scene.
+
+Usage: python scripts/bench_gs.py [--n 100000] [--backends matmul pallas xla]
+"""
+
+import argparse
+import json
+import math
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=100_000)
+    parser.add_argument("--height", type=int, default=1088)
+    parser.add_argument("--width", type=int, default=1920)
+    parser.add_argument("--backends", nargs="+", default=["matmul"])
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from aip_tpu.gs.cameras import Camera
+    from aip_tpu.gs.rasterizer import (
+        RasterSettings, rasterize, rasterize_fast, rasterize_matmul,
+    )
+
+    def sync(x):
+        np.asarray(jax.lax.slice(x.reshape(-1), (0,), (1,)))
+
+    rng = np.random.default_rng(0)
+    n = args.n
+    means = jnp.asarray((rng.random((n, 3)) * 2 - 1).astype(np.float32))
+    scales = jnp.asarray((rng.random((n, 3)) * 0.01 + 0.003).astype(np.float32))
+    quats = jnp.asarray(rng.standard_normal((n, 4)).astype(np.float32))
+    opac = jnp.asarray((rng.random(n) * 0.8 + 0.1).astype(np.float32))
+    colors = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+
+    H, W = args.height, args.width
+    cam = Camera(colmap_id=0, R=np.eye(3), T=np.array([0.0, 0.0, 3.0]),
+                 FoVx=1.2, FoVy=0.8, image=np.zeros((H, W, 3), np.float32),
+                 image_name="b", uid=0)
+    vm = jnp.asarray(cam.world_view_transform)
+    pm = jnp.asarray(cam.full_proj_transform)
+    tx, ty = math.tan(cam.FoVx * 0.5), math.tan(cam.FoVy * 0.5)
+    bg = jnp.zeros(3)
+
+    backends = {
+        "xla": (rasterize, RasterSettings(H, W, max_per_tile=128, chunk=8192)),
+        "pallas": (rasterize_fast, RasterSettings(H, W, max_per_tile=128,
+                                                  chunk=8192, macro=8,
+                                                  macro_capacity=1024)),
+        "matmul": (rasterize_matmul, RasterSettings(H, W, max_per_tile=128,
+                                                    chunk=8192, macro=4,
+                                                    macro_capacity=512)),
+    }
+    results = {}
+    for name in args.backends:
+        fn, s = backends[name]
+        img, _ = fn(means, scales, quats, opac, colors, vm, pm, bg, s,
+                    tanfovx=tx, tanfovy=ty)
+        sync(img)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(4):
+                img, _ = fn(means, scales, quats, opac, colors, vm, pm, bg, s,
+                            tanfovx=tx, tanfovy=ty)
+            sync(img)
+            best = min(best, (time.perf_counter() - t0) / 4)
+        results[name] = {"ms_per_frame": round(best * 1000, 1),
+                         "fps": round(1.0 / best, 2)}
+    print(json.dumps({"metric": "gs_render_1080p", "n_gaussians": n,
+                      "results": results}))
+
+
+if __name__ == "__main__":
+    main()
