@@ -369,8 +369,13 @@ def rasterize(
         mean2d, jax.lax.stop_gradient(depths), jax.lax.stop_gradient(radii),
         valid, settings,
     )
-    img = composite_tiles(sel_idx, sel_depth, mean2d, conics, colors,
-                          opacities, bg_color, settings)
+    # Remat: the [tiles, K, 256] alpha/transmittance intermediates are the
+    # memory peak under autodiff; recompute them in the backward instead of
+    # storing (free for inference — no cotangents, no recompute).
+    composite = jax.checkpoint(
+        functools.partial(composite_tiles, settings=settings))
+    img = composite(sel_idx, sel_depth, mean2d, conics, colors,
+                    opacities, bg_color)
     return img, radii
 
 

@@ -71,6 +71,11 @@ class GSTrainConfig:
     capacity: int = 1 << 17
     max_per_tile: int = 128
     raster_chunk: int = 4096
+    # Hierarchical selection kicks in automatically for images larger than
+    # this (selection cost grows with tile count; see BENCHMARKS.md).
+    macro_above_pixels: int = 512 * 512
+    macro: int = 4
+    macro_capacity: int = 1024
     white_background: bool = False
 
 
@@ -245,9 +250,11 @@ def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
 def make_settings_from_dims(height: int, width: int, cfg: GSTrainConfig):
     from aip_tpu.gs.rasterizer import RasterSettings
 
+    macro = cfg.macro if height * width > cfg.macro_above_pixels else 1
     return RasterSettings(
         image_height=height, image_width=width,
         max_per_tile=cfg.max_per_tile, chunk=cfg.raster_chunk,
+        macro=macro, macro_capacity=cfg.macro_capacity,
     )
 
 
