@@ -125,6 +125,14 @@ def style_embedding(params: ColorFieldParams, style_f: jax.Array) -> jax.Array:
     return e / jnp.linalg.norm(e, axis=1, keepdims=True)
 
 
+def precompute_features(params: ColorFieldParams, xyz: jax.Array) -> jax.Array:
+    """Cache the hash-grid features for a fixed Gaussian set
+    (gaussian_model.precompute parity, :653-656) — rendering under many
+    styles then only re-runs style_fc + MLP."""
+    x01 = contract_to_unisphere(jax.lax.stop_gradient(xyz))
+    return hash_encode(params.hash_tables, x01)
+
+
 def predict_sh(params: ColorFieldParams, xyz: jax.Array,
                style_f: jax.Array | None = None,
                precomputed_enc: jax.Array | None = None) -> jax.Array:

@@ -307,6 +307,7 @@ def train(
     checkpoint_dir=None,
     test_iterations=(),
     logger=None,
+    network_gui=None,
 ):
     """Full two-phase stylized training. Returns (TrainerState, style_f).
 
@@ -375,6 +376,33 @@ def train(
     stack = []
     key = jax.random.PRNGKey(seed)
     for it in range(first_iter + 1, cfg.iterations + 1):
+        # Remote-viewer poll (train.py:125-156 parity): serve a frame to a
+        # connected SIBR viewer each iteration.
+        if network_gui is not None:
+            network_gui.try_connect()
+            if network_gui.conn is not None:
+                try:
+                    cam_req, _do_train, keep_alive, scaling = network_gui.receive()
+                    if cam_req is not None:
+                        from aip_tpu.gs.render import render as gs_render
+                        from aip_tpu.gs.rasterizer import RasterSettings as RS
+
+                        out = gs_render(
+                            cam_req, trainer.gstate, trainer.field, bg,
+                            style_f=style_f, mode="inference",
+                            scaling_modifier=scaling,
+                            settings=RS(cam_req.image_height, cam_req.image_width,
+                                        max_per_tile=cfg.max_per_tile),
+                        )
+                        frame = (np.clip(np.asarray(out.render), 0, 1) * 255
+                                 ).astype(np.uint8)
+                        network_gui.send(frame, scene.scene_info.ply_path)
+                    else:
+                        network_gui.send(None, scene.scene_info.ply_path)
+                    if not keep_alive:
+                        network_gui.disconnect()
+                except Exception:
+                    network_gui.disconnect()
         if not stack:
             stack = list(rng.permutation(len(cams)))
         ci = stack.pop()

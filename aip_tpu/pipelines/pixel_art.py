@@ -351,6 +351,30 @@ def vectorization(
     return png_path
 
 
+def depixelize_and_stylize(
+    image,
+    style_image,
+    scale: int = 10,
+    use_depth: bool = True,
+    depth_offset: float = 0.5,
+    depth_prominence: float = 20.0,
+    output: str = "output",
+    file_name: str = "depixelized_stylized",
+):
+    """Depixelize then style-transfer the vector raster
+    (gui/second_page.py:386-619 Depixelize_pipeline parity; the AdaIN-depth
+    branch :491). Returns the stylized image path."""
+    from aip_tpu.pipelines.adain_infer import adain_inference
+
+    vector_raster = depixelize(image, scale)
+    return adain_inference(
+        content_img=vector_raster, style_img=style_image,
+        use_depth=use_depth, depth_offset=depth_offset,
+        depth_prominence=depth_prominence,
+        output=output, file_name=file_name,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Palette pixelization (gui/second_page.py Pixelize parity)
 # ---------------------------------------------------------------------------

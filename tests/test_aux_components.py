@@ -141,3 +141,87 @@ def test_full_eval_empty_sets(tmp_path):
 
     out = run_full_eval("style.png", output_path=str(tmp_path))
     assert out == {}
+
+
+def test_network_gui_in_training_loop(tmp_path, rng, monkeypatch):
+    """A viewer connected during train() receives a rendered frame."""
+    import json as _json
+    import socket as _socket
+    import threading as _threading
+
+    from PIL import Image
+
+    from aip_tpu.models import weights as weights_mod
+    from aip_tpu.gs.dataset import Scene
+    from aip_tpu.gs.network_gui import NetworkGUI
+    from aip_tpu.gs.train import GSTrainConfig, train
+
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+    (tmp_path / "scene" / "images").mkdir(parents=True)
+    frames = []
+    c2w = np.eye(4); c2w[2, 3] = 3.0
+    frames.append({"file_path": "./images/r_0", "transform_matrix": c2w.tolist()})
+    img = np.zeros((32, 32, 4), np.uint8); img[..., 3] = 255; img[8:24, 8:24] = (200, 0, 0, 255)
+    Image.fromarray(img).save(tmp_path / "scene" / "images" / "r_0.png")
+    (tmp_path / "scene" / "transforms_train.json").write_text(
+        _json.dumps({"camera_angle_x": 0.8, "frames": frames}))
+    Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(tmp_path / "s.png")
+
+    scene = Scene(str(tmp_path / "scene"), shuffle=False)
+    scene.scene_info.point_cloud.points = scene.scene_info.point_cloud.points[:60]
+    scene.scene_info.point_cloud.colors = scene.scene_info.point_cloud.colors[:60]
+
+    gui = NetworkGUI(port=0)
+    port = gui.listener.getsockname()[1]
+    got = {}
+
+    def viewer():
+        s = _socket.create_connection(("127.0.0.1", port), timeout=60)
+        msg = {"resolution_x": 16, "resolution_y": 16, "train": 1, "fov_y": 0.8,
+               "fov_x": 0.8, "z_near": 0.01, "z_far": 100.0, "shs_python": 0,
+               "rot_scale_python": 0, "keep_alive": 0, "scaling_modifier": 1.0,
+               "view_matrix": list(np.eye(4).ravel().astype(float)),
+               "view_projection_matrix": list(np.eye(4).ravel().astype(float))}
+        payload = _json.dumps(msg).encode()
+        s.sendall(len(payload).to_bytes(4, "little") + payload)
+
+        def rx(n):
+            b = b""
+            while len(b) < n:
+                ch = s.recv(n - len(b))
+                if not ch:
+                    raise ConnectionError
+                b += ch
+            return b
+
+        got["frame"] = rx(16 * 16 * 3)
+        vlen = int.from_bytes(rx(4), "little")
+        got["verify"] = rx(vlen).decode()
+        s.close()
+
+    t = _threading.Thread(target=viewer, daemon=True)
+    t.start()
+    cfg = GSTrainConfig(iterations=3, freeze_iters=2, capacity=64, max_per_tile=16,
+                        raster_chunk=64, densify_from_iter=100, log2_hashmap=10,
+                        rvq_size=8, rvq_num=2, net_lr_step=(100,), style_dim=0)
+    train(scene, str(tmp_path / "s.png"), cfg, img_size=32,
+          guide_dir=str(tmp_path / "g"), network_gui=gui)
+    t.join(timeout=30)
+    gui.close()
+    assert len(got.get("frame", b"")) == 16 * 16 * 3
+
+
+def test_depixelize_and_stylize(tmp_path, rng, monkeypatch):
+    from PIL import Image
+
+    from aip_tpu.models import weights as weights_mod
+    from aip_tpu.pipelines.pixel_art import depixelize_and_stylize
+
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+    sprite = np.zeros((8, 8, 3), np.uint8)
+    sprite[2:6, 2:6] = (200, 30, 30)
+    style = tmp_path / "style.png"
+    Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(style)
+    out = depixelize_and_stylize(sprite, str(style), scale=4,
+                                 output=str(tmp_path), use_depth=False)
+    assert out.exists()
