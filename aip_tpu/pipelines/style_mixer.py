@@ -126,10 +126,10 @@ def get_feature_extractor(model: str):
 
         return vgg_feats
     if model == "Swin":
-        raise NotImplementedError(
-            "Swin-T backbone: register one via "
-            "aip_tpu.pipelines.style_mixer.register_backbone('Swin', fn)"
-        )
+        from aip_tpu.models.swin import get_swin_t_params, swin_t_features
+
+        params = get_swin_t_params()
+        return functools.partial(swin_t_features, params)
     raise ValueError(f"unknown backbone {model}")
 
 

@@ -101,3 +101,24 @@ def test_metrics_evaluate(tmp_path, rng):
     assert 0.5 < res["SSIM"] <= 1.0
     assert (tmp_path / "model" / "results.json").exists()
     assert (tmp_path / "model" / "per_view.json").exists()
+
+
+def test_deeplab_segmenter_registration(tmp_path, rng):
+    """DeepLab architecture plugs into the segmentation hook."""
+    import jax as _jax
+
+    from aip_tpu.models.deeplab import init_deeplab_params, make_background_segmenter
+    from aip_tpu.models import segmenter as seg_mod
+
+    params = init_deeplab_params(_jax.random.PRNGKey(0))
+    seg = make_background_segmenter(params)
+    try:
+        seg_mod.register_segmenter(seg)
+        img = rng.random((33, 41, 3)).astype(np.float32)
+        mask = np.asarray(seg_mod.extract_background_mask(img))
+        assert mask.shape == (33, 41)
+        assert mask.dtype == np.uint8
+        assert set(np.unique(mask)) <= {0, 1}
+    finally:
+        seg_mod.register_segmenter(None)
+        seg_mod._REGISTERED = None

@@ -107,9 +107,22 @@ def test_custom_backbone_registration(rng):
     assert fx(x)["layer4"].shape == (1, 4, 4, 3)
 
 
-def test_swin_unregistered_raises():
-    with pytest.raises(NotImplementedError):
-        get_feature_extractor("Swin")
+def test_swin_extractor_shapes(rng):
+    fx = get_feature_extractor("Swin")
+    x = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    feats = fx(x)
+    assert feats["layer1"].shape == (1, 16, 16, 96)
+    assert feats["layer2"].shape == (1, 8, 8, 192)
+    assert feats["layer3"].shape == (1, 4, 4, 384)
+    assert feats["swin"].shape == (1, 2, 2, 768)
+    assert np.isfinite(np.asarray(feats["swin"])).all()
+
+
+def test_style_transfer_swin_runs(rng):
+    c = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    s = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    out = style_transfer(c, s, model="Swin", iterations=2)
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_densenet_extractor_shapes(rng):
