@@ -158,10 +158,16 @@ def apply_style_transfer_multi_ada(
     vgg_params=None,
     dec_params=None,
     compute_dtype=jnp.bfloat16,
+    shard: bool = True,
 ) -> list:
     """Stylize a frame directory against a style directory (multi-style).
 
     Parity: video/utils.py:304-371. Returns the list of written frame paths.
+
+    Multi-chip: with ``shard`` and >1 device, the frame batch is placed with
+    its leading axis sharded over a ``dp`` mesh — the stylize/flow programs
+    then run frame-parallel across chips (the reference processes frames
+    serially on one GPU, SURVEY.md §3.4).
     """
     from PIL import Image
 
@@ -188,6 +194,12 @@ def apply_style_transfer_multi_ada(
         for f in content_frames
     ])
     frames_j = jnp.asarray(frames)
+    if shard and jax.device_count() > 1 and n % jax.device_count() == 0:
+        from aip_tpu.parallel.mesh import make_mesh
+        from aip_tpu.parallel.sharding import batch_sharding
+
+        mesh = make_mesh(jax.devices(), ("dp", "tp"), shape=(jax.device_count(), 1))
+        frames_j = jax.device_put(frames_j, batch_sharding(mesh))
 
     # Per-style AdaIN stats (one encode per style), gathered per frame.
     stats = [

@@ -74,3 +74,33 @@ def test_video_roundtrip_and_pipeline(tmp_path, rng, monkeypatch):
 
     clear_frames(content_dir)
     assert not any(f.suffix == ".jpg" for f in content_dir.iterdir())
+
+
+def test_video_sharded_over_mesh(tmp_path, rng, monkeypatch):
+    """8 frames sharded over the 8-device CPU mesh produce valid outputs."""
+    import jax
+
+    from aip_tpu.models import weights as weights_mod
+
+    assert jax.device_count() == 8
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+    from PIL import Image
+
+    content_dir = tmp_path / "frames"
+    content_dir.mkdir()
+    for i in range(8):
+        Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(
+            content_dir / f"f_{i:03d}.jpg")
+    style_dir = tmp_path / "styles"
+    style_dir.mkdir()
+    Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(
+        style_dir / "s.jpg")
+
+    outs = apply_style_transfer_multi_ada(
+        content_dir, style_dir, tmp_path / "out",
+        target_resolution=(32, 32), compute_dtype=jnp.float32, shard=True,
+    )
+    assert len(outs) == 8
+    for p in outs:
+        img = np.asarray(Image.open(p))
+        assert img.shape == (32, 32, 3)
