@@ -61,36 +61,27 @@ def huffman_build(symbols: np.ndarray) -> dict:
 
 
 def huffman_encode(symbols: np.ndarray):
-    """Returns (packed_bytes, codes, n_symbols, total_bits)."""
-    codes = huffman_build(symbols)
-    bits = np.zeros(sum(codes[s][1] for s in symbols.tolist()), np.uint8)
-    pos = 0
-    for s in symbols.tolist():
-        code, length = codes[s]
-        for k in range(length - 1, -1, -1):
-            bits[pos] = (code >> k) & 1
-            pos += 1
-    packed = np.packbits(bits)
-    return packed, codes, len(symbols), pos
+    """Returns (packed_bytes, codes, n_symbols, total_bits).
+
+    Code lengths come from the Huffman tree; the emitted codes are
+    *canonical* (equivalent lengths, deterministic values), packed by the
+    native bit codec (aip_tpu.runtime.bitcodec) with a numpy fallback.
+    """
+    from aip_tpu.runtime import bitcodec
+
+    tree_codes = huffman_build(symbols)
+    lengths = {s: l for s, (_c, l) in tree_codes.items()}
+    codes, _tables = bitcodec.canonical_codes(lengths)
+    packed, total_bits = bitcodec.pack(np.asarray(symbols), codes)
+    return packed, codes, len(symbols), total_bits
 
 
 def huffman_decode(packed: np.ndarray, codes: dict, n_symbols: int) -> np.ndarray:
-    bits = np.unpackbits(packed)
-    # Invert the code table.
-    inv = {(c, l): s for s, (c, l) in codes.items()}
-    out = np.empty(n_symbols, np.int64)
-    code, length, oi, = 0, 0, 0
-    for b in bits:
-        code = (code << 1) | int(b)
-        length += 1
-        key = (code, length)
-        if key in inv:
-            out[oi] = inv[key]
-            oi += 1
-            code, length = 0, 0
-            if oi == n_symbols:
-                break
-    return out
+    from aip_tpu.runtime import bitcodec
+
+    lengths = {s: l for s, (_c, l) in codes.items()}
+    _codes, tables = bitcodec.canonical_codes(lengths)
+    return bitcodec.unpack(np.asarray(packed), n_symbols, tables)
 
 
 def huffman_size_bytes(symbols: np.ndarray) -> float:

@@ -178,3 +178,29 @@ def test_cameras_json_dump(tmp_path, rng):
     data = _json.loads(open(path).read())
     assert len(data) == 2
     assert {"id", "img_name", "position", "rotation", "fx", "fy"} <= set(data[0])
+
+
+def test_bitcodec_canonical_and_fallback(rng):
+    """Canonical codec: native and numpy paths agree bit-for-bit."""
+    from aip_tpu.runtime import bitcodec
+
+    symbols = np.concatenate([np.zeros(300, np.int64),
+                              rng.integers(0, 32, 200)])
+    lengths = {s: l for s, (_c, l) in C.huffman_build(symbols).items()}
+    codes, tables = bitcodec.canonical_codes(lengths)
+
+    packed_native, bits_native = bitcodec.pack(symbols, codes)
+    out_native = bitcodec.unpack(packed_native, len(symbols), tables)
+    np.testing.assert_array_equal(out_native, symbols)
+
+    # Force the pure-python fallback and compare.
+    saved = bitcodec._LIB
+    try:
+        bitcodec._LIB = None
+        packed_py, bits_py = bitcodec.pack(symbols, codes)
+        assert bits_py == bits_native
+        np.testing.assert_array_equal(packed_py, packed_native)
+        out_py = bitcodec.unpack(packed_py, len(symbols), tables)
+        np.testing.assert_array_equal(out_py, symbols)
+    finally:
+        bitcodec._LIB = saved
