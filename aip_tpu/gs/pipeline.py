@@ -78,6 +78,7 @@ def run_3dgs_rendering(
     output_dir=None,
     max_per_tile: int = 128,
     fps: int = 10,
+    renderer: str = "auto",
 ) -> str:
     """Render the trained scene under a (possibly new) style; returns the
     GIF path (render.py:51-113 parity)."""
@@ -110,7 +111,7 @@ def run_3dgs_rendering(
             max_per_tile=max_per_tile,
         )
         out = render(cam, state, field, bg, style_f=style_f, mode="inference",
-                     settings=settings)
+                     settings=settings, renderer=renderer)
         img = np.clip(np.asarray(out.render), 0, 1)
         im = Image.fromarray((img * 255).astype(np.uint8))
         im.save(out_dir / f"{i:05d}.png")

@@ -114,7 +114,15 @@ def render(
     colors = _sh_colors(sh, xyz, campos)
 
     if renderer == "auto":
-        renderer = "pallas" if use_pallas else "xla"
+        if use_pallas:
+            renderer = "pallas"
+        elif mode == "inference" and settings.image_height * settings.image_width >= 512 * 512:
+            # The matmul macro-block compositor wins at high resolution
+            # (selection dominates there, BENCHMARKS.md); plain XLA compiles
+            # faster and is quicker for small previews.
+            renderer = "matmul"
+        else:
+            renderer = "xla"
     if renderer == "matmul" and mode == "inference":
         from aip_tpu.gs.rasterizer import rasterize_matmul
 
