@@ -122,3 +122,26 @@ def test_deeplab_segmenter_registration(tmp_path, rng):
     finally:
         seg_mod.register_segmenter(None)
         seg_mod._REGISTERED = None
+
+
+def test_midas_architecture_and_depth_hook(rng):
+    """MiDaS-small architecture runs and plugs into the depth hook."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from aip_tpu.models.midas import init_midas_params, midas_inverse_depth, make_depth_estimator
+    from aip_tpu.models import depthnet
+
+    params = init_midas_params(_jax.random.PRNGKey(0))
+    x = _jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    pred = midas_inverse_depth(params, x)
+    assert pred.shape == (1, 64, 64)
+    assert np.isfinite(np.asarray(pred)).all()
+
+    est = make_depth_estimator(params)
+    try:
+        depthnet.register_depth_model(est)
+        d = depthnet.estimate_proximity(rng.random((40, 52, 3)).astype(np.float32))
+        assert d.shape == (40, 52)
+    finally:
+        depthnet._REGISTERED = None
