@@ -225,3 +225,16 @@ def test_depixelize_and_stylize(tmp_path, rng, monkeypatch):
     out = depixelize_and_stylize(sprite, str(style), scale=4,
                                  output=str(tmp_path), use_depth=False)
     assert out.exists()
+
+
+def test_step_timer_and_device_sync(rng):
+    import jax.numpy as jnp
+
+    from aip_tpu.utils.profiling import StepTimer, device_sync
+
+    t = StepTimer()
+    t.start()
+    x = jnp.ones((64, 64)) * 2
+    dt = t.stop(sync_on=x)
+    assert dt >= 0 and t.value is not None
+    device_sync(x)  # no exception
