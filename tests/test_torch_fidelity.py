@@ -109,3 +109,49 @@ def test_weight_converter_roundtrip(tmp_path, rng):
     a = np.asarray(vgg_encode(params, jnp.asarray(x), "relu4_1", jnp.float32))
     b = np.asarray(vgg_encode(converted, jnp.asarray(x), "relu4_1", jnp.float32))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_vgg19_std_matches_torch(rng):
+    """Standard VGG19 extractor (NST backbone) vs a torch mirror with
+    identical weights — validates zero-pad convs + pre-ReLU taps."""
+    from aip_tpu.models import vgg19_std as B
+
+    params = B.init_vgg19_params(jax.random.PRNGKey(3))
+
+    convs = []
+    for p in params:
+        convs.append(_to_torch_conv_same(p))
+
+    x = rng.random((1, 32, 40, 3)).astype(np.float32)
+    xn = np.asarray(B.normalize_imagenet(jnp.asarray(x)))
+    ours = B.extract_features(params, jnp.asarray(xn),
+                              ("conv1_1", "conv2_1", "conv4_2"))
+
+    t = torch.from_numpy(xn).permute(0, 3, 1, 2)
+    taps = {}
+    ci = 0
+    for layer in B.VGG19_CONVS:
+        name = layer[0]
+        if name == "pool":
+            t = nn.functional.max_pool2d(t, 2, 2, ceil_mode=True)
+            continue
+        t = convs[ci](t)
+        ci += 1
+        if name in ("conv1_1", "conv2_1", "conv4_2"):
+            taps[name] = t.detach().permute(0, 2, 3, 1).numpy()
+        t = torch.relu(t)
+
+    for name in ("conv1_1", "conv2_1", "conv4_2"):
+        a = np.asarray(ours[name])
+        b = taps[name]
+        scale = max(np.abs(b).max(), 1e-3)
+        assert np.abs(a - b).max() / scale < 1e-4, name
+
+
+def _to_torch_conv_same(p):
+    w = np.transpose(np.asarray(p["w"]), (3, 2, 0, 1))
+    conv = nn.Conv2d(w.shape[1], w.shape[0], w.shape[2], padding=w.shape[2] // 2)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(w))
+        conv.bias.copy_(torch.from_numpy(np.asarray(p["b"])))
+    return conv
