@@ -117,3 +117,72 @@ def test_rvq_roundtrip(rng):
     # Straight-through gradient: d(quantize)/dx == identity.
     g = jax.grad(lambda x: jnp.sum(rvq_mod.quantize(state, x)[0]))(data)
     np.testing.assert_allclose(np.asarray(g), 1.0, atol=1e-6)
+
+
+def test_multiview_recovers_ground_truth_scene(rng):
+    """Train from random fog against 4 consistent views rendered from known
+    Gaussians; loss must collapse and a held view must match.
+
+    (Regression guard for the full multi-view gradient path — degenerate
+    inconsistent-view data plateaus by design, consistent data must not.)
+    """
+    import math
+
+    from aip_tpu.gs.cameras import Camera
+    from aip_tpu.gs.rasterizer import RasterSettings, rasterize
+    from aip_tpu.gs.train import (
+        GSTrainConfig, init_trainer, make_train_step, camera_to_arrays,
+        render_from_arrays, make_settings_from_dims,
+    )
+
+    ng = 12
+    gt_means = jnp.asarray((rng.random((ng, 3)) * 1.0 - 0.5).astype(np.float32))
+    gt_scales = jnp.asarray((rng.random((ng, 3)) * 0.1 + 0.06).astype(np.float32))
+    gt_quats = jnp.asarray(rng.standard_normal((ng, 4)).astype(np.float32))
+    gt_op = jnp.asarray((rng.random(ng) * 0.5 + 0.4).astype(np.float32))
+    gt_col = jnp.asarray(rng.random((ng, 3)).astype(np.float32))
+
+    cams = []
+    for i in range(4):
+        ang = i * 2 * np.pi / 4
+        pos = np.array([3 * np.sin(ang), 0.3, 3 * np.cos(ang)])
+        z = -pos / np.linalg.norm(pos)
+        up = np.array([0.0, 1, 0])
+        x = np.cross(up, z); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        w2cR = np.stack([x, y, z], 1).T
+        cams.append(Camera(colmap_id=i, R=w2cR.T, T=-w2cR @ pos, FoVx=0.8, FoVy=0.8,
+                           image=np.zeros((48, 48, 3), np.float32),
+                           image_name=f"v{i}", uid=i))
+    s = RasterSettings(48, 48, max_per_tile=32, chunk=32)
+    tf = math.tan(0.4)
+    gts = []
+    for c in cams:
+        img, _ = rasterize(gt_means, gt_scales, gt_quats, gt_op, gt_col,
+                           jnp.asarray(c.world_view_transform),
+                           jnp.asarray(c.full_proj_transform),
+                           jnp.zeros(3), s, tanfovx=tf, tanfovy=tf)
+        gts.append(np.clip(np.asarray(img), 0, 1))
+
+    cfg = GSTrainConfig(capacity=512, max_per_tile=32, raster_chunk=512,
+                        style_dim=0, log2_hashmap=11, rvq_size=8, rvq_num=2,
+                        net_lr_step=(10**6,), densify_from_iter=10**6)
+    pts = (rng.random((400, 3)) * 2 - 1).astype(np.float32)
+    trainer = init_trainer(cfg, jnp.asarray(pts),
+                           jnp.asarray(rng.random((400, 3)).astype(np.float32)), 3.0)
+    step = make_train_step(cfg, 3.0, "photometric", 48, 48)
+    arrays = [camera_to_arrays(c, image=g) for c, g in zip(cams, gts)]
+    bg = jnp.zeros(3)
+
+    losses = []
+    for it in range(1, 181):
+        trainer, m = step(trainer, arrays[it % 4], None, bg)
+        losses.append(float(m["loss"]))
+    assert np.mean(losses[-20:]) < 0.55 * np.mean(losses[:20]), (
+        np.mean(losses[:20]), np.mean(losses[-20:]))
+
+    out = render_from_arrays(arrays[0], trainer.gstate, trainer.field, bg,
+                             None, "train", None, None,
+                             make_settings_from_dims(48, 48, cfg))
+    err = float(np.abs(np.clip(np.asarray(out.render), 0, 1) - gts[0]).mean())
+    assert err < 0.08, err
