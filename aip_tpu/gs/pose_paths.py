@@ -45,8 +45,10 @@ def focus_point_fn(poses):
     directions, origins = poses[:, :3, 2:3], poses[:, :3, 3:4]
     m = np.eye(3) - directions * np.transpose(directions, [0, 2, 1])
     mt_m = np.transpose(m, [0, 2, 1]) @ m
+    # pinv: parallel view axes (e.g. straight-line captures) make the normal
+    # matrix singular; the least-squares focus point is still well defined.
     return np.squeeze(
-        np.linalg.inv(mt_m.mean(0)) @ (mt_m @ origins).mean(0)
+        np.linalg.pinv(mt_m.mean(0)) @ (mt_m @ origins).mean(0)
     )
 
 

@@ -145,3 +145,68 @@ def test_midas_architecture_and_depth_hook(rng):
         assert d.shape == (40, 52)
     finally:
         depthnet._REGISTERED = None
+
+
+def test_adain_video_cli(tmp_path, rng):
+    cv2 = pytest.importorskip("cv2")
+    from aip_tpu.cli.adain_video import main
+
+    vid = tmp_path / "in.mp4"
+    writer = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"), 5, (40, 32))
+    for i in range(4):
+        writer.write((rng.random((32, 40, 3)) * 255).astype(np.uint8))
+    writer.release()
+    s1 = tmp_path / "s1.png"
+    s2 = tmp_path / "s2.png"
+    Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(s1)
+    Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(s2)
+
+    out = main(["--content_video", str(vid), "--style_path", str(s1), str(s2),
+                "--style_interpolation_weights", "0.7", "0.3",
+                "--content_size", "32", "--style_size", "32",
+                "--output", str(tmp_path / "out.mp4")])
+    assert (tmp_path / "out.mp4").exists()
+
+
+def test_render_video_cli(tmp_path, rng, monkeypatch):
+    """Ellipse video CLI over a trained tiny model."""
+    import json as _json
+
+    from aip_tpu.models import weights as weights_mod
+    from aip_tpu.gs.dataset import Scene
+    from aip_tpu.gs.train import GSTrainConfig, train
+    from aip_tpu.gs import compress as compress_mod
+    from aip_tpu.cli.render_video import main
+
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+    (tmp_path / "scene" / "images").mkdir(parents=True)
+    frames = []
+    for i in range(3):
+        ang = i * 2.0
+        c2w = np.eye(4)
+        c2w[0, 3] = 3 * np.sin(ang); c2w[2, 3] = 3 * np.cos(ang)
+        frames.append({"file_path": f"./images/r_{i}", "transform_matrix": c2w.tolist()})
+        img = np.zeros((32, 32, 4), np.uint8); img[..., 3] = 255
+        img[8:24, 8:24] = (180, 60, 40, 255)
+        Image.fromarray(img).save(tmp_path / "scene" / "images" / f"r_{i}.png")
+    (tmp_path / "scene" / "transforms_train.json").write_text(
+        _json.dumps({"camera_angle_x": 0.8, "frames": frames}))
+    Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(tmp_path / "style.png")
+
+    scene = Scene(str(tmp_path / "scene"), shuffle=False)
+    scene.scene_info.point_cloud.points = scene.scene_info.point_cloud.points[:80]
+    scene.scene_info.point_cloud.colors = scene.scene_info.point_cloud.colors[:80]
+    cfg = GSTrainConfig(iterations=4, freeze_iters=3, capacity=128, max_per_tile=16,
+                        raster_chunk=128, densify_from_iter=100, log2_hashmap=10,
+                        rvq_size=8, rvq_num=2, net_lr_step=(100,), style_dim=0)
+    trainer, _ = train(scene, str(tmp_path / "style.png"), cfg, img_size=32,
+                       guide_dir=str(tmp_path / "g"))
+    model_dir = tmp_path / "model"; model_dir.mkdir()
+    compress_mod.save_npz(model_dir / "model.npz", trainer.gstate, trainer.field,
+                          trainer.rvq_scale, trainer.rvq_rot)
+    (model_dir / "cfg_args.json").write_text(_json.dumps({
+        "source_path": str(tmp_path / "scene"), "white_background": False}))
+
+    outs = main(["-m", str(model_dir), "--video", "--n_frames", "6", "--fps", "3"])
+    from pathlib import Path as _P
+    assert _P(outs[0]).exists()
