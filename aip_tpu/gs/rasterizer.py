@@ -57,6 +57,9 @@ class RasterSettings(NamedTuple):
     # then refine per tile from the macro candidate list. macro=1 disables.
     macro: int = 1
     macro_capacity: int = 1024
+    # Rematerialize the composite in the backward pass (halves peak memory,
+    # costs ~an extra forward). Disable when the [tiles, K, 256] buffers fit.
+    remat_composite: bool = True
 
 
 def project_gaussians(
@@ -372,8 +375,9 @@ def rasterize(
     # Remat: the [tiles, K, 256] alpha/transmittance intermediates are the
     # memory peak under autodiff; recompute them in the backward instead of
     # storing (free for inference — no cotangents, no recompute).
-    composite = jax.checkpoint(
-        functools.partial(composite_tiles, settings=settings))
+    composite = functools.partial(composite_tiles, settings=settings)
+    if settings.remat_composite:
+        composite = jax.checkpoint(composite)
     img = composite(sel_idx, sel_depth, mean2d, conics, colors,
                     opacities, bg_color)
     return img, radii

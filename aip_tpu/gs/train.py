@@ -251,10 +251,15 @@ def make_settings_from_dims(height: int, width: int, cfg: GSTrainConfig):
     from aip_tpu.gs.rasterizer import RasterSettings
 
     macro = cfg.macro if height * width > cfg.macro_above_pixels else 1
+    # Remat only when the [tiles, K, 256] autodiff intermediates would be
+    # large (>~0.5 GB); below that, storing them is faster than recompute.
+    n_tiles = ((height + 15) // 16) * ((width + 15) // 16)
+    remat = n_tiles * cfg.max_per_tile * 256 * 4 > (1 << 29)
     return RasterSettings(
         image_height=height, image_width=width,
         max_per_tile=cfg.max_per_tile, chunk=cfg.raster_chunk,
         macro=macro, macro_capacity=cfg.macro_capacity,
+        remat_composite=remat,
     )
 
 
