@@ -60,6 +60,10 @@ class RasterSettings(NamedTuple):
     # Rematerialize the composite in the backward pass (halves peak memory,
     # costs ~an extra forward). Disable when the [tiles, K, 256] buffers fit.
     remat_composite: bool = True
+    # Differentiable-composite backend: 'xla' (autodiff through the dense
+    # pipeline) or 'pallas' (streamed custom-VJP kernels,
+    # aip_tpu.ops.pallas.composite_ad).
+    ad_backend: str = "xla"
 
 
 def project_gaussians(
@@ -372,6 +376,21 @@ def rasterize(
         mean2d, jax.lax.stop_gradient(depths), jax.lax.stop_gradient(radii),
         valid, settings,
     )
+    if settings.ad_backend == "pallas":
+        from aip_tpu.ops.pallas.composite_ad import composite_tiles_ad
+
+        th, tw = _tile_grid(settings)
+        slot_valid = (sel_idx >= 0).astype(jnp.float32)[:, :, None]
+        safe = jnp.maximum(sel_idx, 0)
+        tiles = composite_tiles_ad(
+            mean2d[safe], conics[safe], colors[safe],
+            opacities[safe][:, :, None], slot_valid, tw, False,
+            jnp.broadcast_to(bg_color[None, :], (1, 3)),
+        )
+        img = tiles.reshape(th, tw, 3, TILE, TILE).transpose(0, 3, 1, 4, 2)
+        img = img.reshape(th * TILE, tw * TILE, 3)
+        img = img[: settings.image_height, : settings.image_width]
+        return img, radii
     # Remat: the [tiles, K, 256] alpha/transmittance intermediates are the
     # memory peak under autodiff; recompute them in the backward instead of
     # storing (free for inference — no cotangents, no recompute).

@@ -268,3 +268,56 @@ def test_rasterize_matmul_matches_flat(rng):
                              jnp.asarray(opac), jnp.asarray(colors), vm, pm, bg,
                              s_mm, tanfovx=tx, tanfovy=ty)
     np.testing.assert_allclose(np.asarray(mm), np.asarray(ref), atol=2e-4)
+
+
+def test_pallas_ad_backend_matches_xla(rng):
+    """Custom-VJP Pallas composite: forward and gradients match the XLA
+    autodiff path (interpret mode)."""
+    from aip_tpu.ops.pallas import composite_ad as cad
+
+    cam = _camera(w=32, h=32)
+    means, scales, quats, opac, colors = _scene(rng, n=10)
+    vm = jnp.asarray(cam.world_view_transform)
+    pm = jnp.asarray(cam.full_proj_transform)
+    tx, ty = _tanfov(cam)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    gt = jnp.asarray(rng.random((32, 32, 3)).astype(np.float32))
+
+    s_xla = RasterSettings(32, 32, max_per_tile=16, chunk=16)
+    s_pal = RasterSettings(32, 32, max_per_tile=16, chunk=16, ad_backend="pallas")
+
+    # Patch the backend call to interpret mode for CPU testing.
+    orig = cad.composite_tiles_ad
+
+    def interp(m, c, col, o, v, tw, _interp, bgc):
+        return orig(m, c, col, o, v, tw, True, bgc)
+
+    import aip_tpu.ops.pallas.composite_ad as mod
+    mod_fn = mod.composite_tiles_ad
+    try:
+        mod.composite_tiles_ad = interp
+
+        def loss(s):
+            def f(m, sc, q, o, c):
+                img, _ = rasterize(m, sc, q, o, c, vm, pm, bg, s,
+                                   tanfovx=tx, tanfovy=ty)
+                return jnp.mean(jnp.abs(img - gt))
+            return f
+
+        a_val = loss(s_xla)(jnp.asarray(means), jnp.asarray(scales),
+                            jnp.asarray(quats), jnp.asarray(opac), jnp.asarray(colors))
+        b_val = loss(s_pal)(jnp.asarray(means), jnp.asarray(scales),
+                            jnp.asarray(quats), jnp.asarray(opac), jnp.asarray(colors))
+        np.testing.assert_allclose(float(a_val), float(b_val), rtol=1e-5)
+
+        ga = jax.grad(loss(s_xla), argnums=(0, 3, 4))(
+            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(colors))
+        gb = jax.grad(loss(s_pal), argnums=(0, 3, 4))(
+            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(colors))
+        for a, b in zip(ga, gb):
+            scale = max(float(jnp.abs(a).max()), 1e-8)
+            assert float(jnp.abs(a - b).max()) / scale < 1e-4
+    finally:
+        mod.composite_tiles_ad = mod_fn
