@@ -184,3 +184,20 @@ def test_colmap_text_parsing(tmp_path):
     xyz, rgb, err = colmap.read_points3d_text(sparse / "points3D.txt")
     np.testing.assert_allclose(xyz[0], [0.1, 0.2, 0.3])
     assert tuple(rgb[0]) == (255, 128, 0)
+
+
+def test_hash_encode_sg_matches_autodiff(rng):
+    """Sort-based hash gradient == scatter autodiff (forward identical)."""
+    from aip_tpu.gs.colorfield import hash_encode, hash_encode_sg
+
+    field = init_colorfield(jax.random.PRNGKey(0), style_dim=None, log2_hashmap=9)
+    x = jnp.asarray(rng.random((300, 3)).astype(np.float32))
+    g_seed = jnp.asarray(rng.standard_normal((300, 32)).astype(np.float32))
+
+    np.testing.assert_array_equal(
+        np.asarray(hash_encode(field.hash_tables, x)),
+        np.asarray(hash_encode_sg(field.hash_tables, x)))
+    ga = jax.grad(lambda tb: jnp.sum(hash_encode(tb, x) * g_seed))(field.hash_tables)
+    gb = jax.grad(lambda tb: jnp.sum(hash_encode_sg(tb, x) * g_seed))(field.hash_tables)
+    scale = float(jnp.abs(ga).max())
+    assert float(jnp.abs(ga - gb).max()) / scale < 1e-4
