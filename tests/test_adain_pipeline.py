@@ -110,3 +110,28 @@ def test_adain_inference_depth_path(tmp_path, rng, monkeypatch):
         use_depth=True,
     )
     assert out_path.exists()
+
+
+def test_strength_map_matches_torch_oracle(rng):
+    """compute_stylization_strength_map vs a torch transcription of the
+    reference math (test.py:119-150): bicubic resize -> min-max -> mean
+    center -> sigmoid(prominence*x) -> clamp <= 1-offset."""
+    import torch
+    import torch.nn.functional as F
+
+    depth = rng.random((37, 45)).astype(np.float32) * 5.0
+    offset, prominence = 0.3, 17.0
+    hc, wc = 9, 11
+
+    ours = np.asarray(compute_stylization_strength_map(
+        jnp.asarray(depth), (hc, wc), offset, prominence))
+
+    d = torch.from_numpy(depth)[None, None]
+    p = F.interpolate(d, size=(hc, wc), mode="bicubic", align_corners=False)
+    mn, mx = p.min(), p.max()
+    p = (p - mn) / (mx - mn)
+    p = p - p.mean()
+    p = 1.0 / (1.0 + torch.exp(-prominence * p))
+    p = torch.clamp(p, max=1.0 - offset)
+    expect = p[0, 0].numpy()
+    np.testing.assert_allclose(ours, expect, atol=1e-5)
