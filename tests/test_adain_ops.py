@@ -67,3 +67,28 @@ def test_style_loss_zero_for_identical(rng):
     x = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
     loss = style_loss_terms(jnp.asarray(x), jnp.asarray(x))
     assert float(loss) < 1e-10
+
+
+def test_coral_matches_torch_oracle(rng):
+    """Exact CORAL parity vs a torch transcription of function.py:26-67."""
+    src = rng.random((12, 14, 3)).astype(np.float32)
+    tgt = (rng.random((10, 11, 3)) * 0.6 + 0.2).astype(np.float32)
+    ours = np.asarray(coral(jnp.asarray(src), jnp.asarray(tgt)))
+
+    def flat_stats(img):
+        f = torch.from_numpy(img).permute(2, 0, 1).reshape(3, -1)
+        return f, f.mean(-1, keepdim=True), f.std(-1, keepdim=True)
+
+    def mat_sqrt(x):
+        u, d, v = torch.svd(x)
+        return u @ d.pow(0.5).diag() @ v.t()
+
+    sf, sm, ss = flat_stats(src)
+    tf, tm, ts = flat_stats(tgt)
+    sn = (sf - sm) / ss
+    tn = (tf - tm) / ts
+    s_cov = sn @ sn.t() + torch.eye(3)
+    t_cov = tn @ tn.t() + torch.eye(3)
+    transfer = mat_sqrt(t_cov) @ torch.inverse(mat_sqrt(s_cov)) @ sn
+    expect = (transfer * ts + tm).reshape(3, 12, 14).permute(1, 2, 0).numpy()
+    np.testing.assert_allclose(ours, expect, atol=2e-4)
