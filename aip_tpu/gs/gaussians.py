@@ -108,13 +108,24 @@ def create_from_pcd(points: jax.Array, colors: jax.Array, capacity: int) -> tupl
     return state, sh_dc
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnums=(3, 4))
 def add_densification_stats(state: GaussianState, screenspace_grad: jax.Array,
-                            radii: jax.Array) -> GaussianState:
+                            radii: jax.Array, width: int | None = None,
+                            height: int | None = None) -> GaussianState:
     """Accumulate ||dL/d mean2d|| for visible gaussians (:658-660) and track
-    max screen radius."""
+    max screen radius.
+
+    ``screenspace_grad`` arrives in PIXEL units (the rasterizer adds the
+    offset to the pixel-space mean2d); the reference's CUDA backward returns
+    NDC-unit gradients (dL_dmean2D scaled by ddelx_dx = 0.5*W / 0.5*H), which
+    is what densify_grad_threshold=0.0002 is calibrated against. Pass the
+    image dims so the accumulated norm matches the reference's units.
+    """
     visible = (radii > 0) & state.active
-    gnorm = jnp.linalg.norm(screenspace_grad[:, :2], axis=-1, keepdims=True)
+    g = screenspace_grad[:, :2]
+    if width is not None and height is not None:
+        g = g * jnp.asarray([0.5 * width, 0.5 * height], g.dtype)
+    gnorm = jnp.linalg.norm(g, axis=-1, keepdims=True)
     return state._replace(
         xyz_grad_accum=state.xyz_grad_accum + jnp.where(visible[:, None], gnorm, 0.0),
         denom=state.denom + visible[:, None].astype(jnp.float32),
@@ -149,12 +160,25 @@ def _append_slots(state: GaussianState, new_vals: dict, want: jax.Array):
     ), dest
 
 
+def avg_densify_grads(state: GaussianState) -> jax.Array:
+    """Per-gaussian mean accumulated screen-space grad norm [C, 1].
+
+    Compute this ONCE per densification event and pass it to both
+    densify_and_clone and densify_and_split: appending slots resets the
+    accumulators, so recomputing inside the second call would see zeros
+    (the reference captures `grads` before both calls,
+    `scene/gaussian_model.py:560-566`).
+    """
+    return jnp.nan_to_num(state.xyz_grad_accum / jnp.maximum(state.denom, 1.0))
+
+
 @functools.partial(jax.jit, static_argnames=())
 def densify_and_clone(state: GaussianState, grad_threshold: float,
-                      percent_dense: float, scene_extent: float):
+                      percent_dense: float, scene_extent: float,
+                      grads: jax.Array | None = None):
     """:545-558. Returns (state, appended_slot_mask [C])."""
-    grads = state.xyz_grad_accum / jnp.maximum(state.denom, 1.0)
-    grads = jnp.nan_to_num(grads)
+    if grads is None:
+        grads = avg_densify_grads(state)
     sel = (
         (grads[:, 0] >= grad_threshold)
         & (jnp.max(get_scaling(state), axis=1) <= percent_dense * scene_extent)
@@ -172,11 +196,12 @@ def densify_and_clone(state: GaussianState, grad_threshold: float,
 
 @functools.partial(jax.jit, static_argnames=("n_split",))
 def densify_and_split(state: GaussianState, key: jax.Array, grad_threshold: float,
-                      percent_dense: float, scene_extent: float, n_split: int = 2):
+                      percent_dense: float, scene_extent: float, n_split: int = 2,
+                      grads: jax.Array | None = None):
     """:520-543. Each selected gaussian becomes n_split samples at scale/1.6;
     the original is pruned. Returns (state, appended_slot_mask)."""
-    grads = state.xyz_grad_accum / jnp.maximum(state.denom, 1.0)
-    grads = jnp.nan_to_num(grads)
+    if grads is None:
+        grads = avg_densify_grads(state)
     scaling = get_scaling(state)
     sel = (
         (grads[:, 0] >= grad_threshold)

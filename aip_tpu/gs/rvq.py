@@ -70,14 +70,20 @@ def quantize(state: RVQState, x: jax.Array):
 
 
 @jax.jit
-def update_codebooks(state: RVQState, x: jax.Array, lr: float = 0.1) -> RVQState:
-    """Pull each codeword toward the mean of its assigned residuals."""
+def update_codebooks(state: RVQState, x: jax.Array, mask: jax.Array | None = None,
+                     lr: float = 0.1) -> RVQState:
+    """Pull each codeword toward the mean of its assigned residuals.
+
+    ``mask`` ([N] bool/float) excludes rows (e.g. inactive padded Gaussian
+    slots) from the means while keeping shapes static for jit.
+    """
+    w = jnp.ones(x.shape[0], x.dtype) if mask is None else mask.astype(x.dtype)
     residual = x
     new_books = []
     for q in range(state.codebooks.shape[0]):
         cb = state.codebooks[q]
         assign = _nearest(residual, cb)
-        one_hot = jax.nn.one_hot(assign, cb.shape[0], dtype=x.dtype)
+        one_hot = jax.nn.one_hot(assign, cb.shape[0], dtype=x.dtype) * w[:, None]
         counts = one_hot.sum(0)
         means = one_hot.T @ residual / jnp.maximum(counts[:, None], 1)
         cb_new = jnp.where(counts[:, None] > 0, cb + lr * (means - cb), cb)

@@ -236,7 +236,8 @@ def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
         field = optax.apply_updates(trainer.field, upd_n)
 
         gstate = _with_gparams(trainer.gstate, gparams)
-        gstate = G.add_densification_stats(gstate, g_offs, radii)
+        gstate = G.add_densification_stats(gstate, g_offs, radii,
+                                           width=width, height=height)
 
         new_trainer = trainer._replace(
             gstate=gstate, field=field, opt_g=opt_g, opt_net=opt_net,
@@ -364,15 +365,22 @@ def train(
                                 (cam.image_height, cam.image_width))
         guides[cam.image_name] = guide
 
-    # One compiled step per (phase, resolution).
+    # One compiled step per (phase, resolution, rvq?).
     step_cache = {}
 
-    def get_step(phase, cam):
-        key_ = (phase, cam.image_height, cam.image_width)
+    def get_step(phase, cam, use_rvq=False):
+        key_ = (phase, cam.image_height, cam.image_width, use_rvq)
         if key_ not in step_cache:
             step_cache[key_] = make_train_step(
-                cfg, scene.cameras_extent, phase, cam.image_height, cam.image_width)
+                cfg, scene.cameras_extent, phase, cam.image_height,
+                cam.image_width, use_rvq=use_rvq)
         return step_cache[key_]
+
+    # Quantization-aware fine-tune boundary: the reference runs the final
+    # 1/30 of the schedule (rvq_iter=29k of 30k, arguments/__init__.py:75-99)
+    # with codebook-quantized scale/rot so geometry adapts to quantization;
+    # scale that fraction down when iterations < the stock 30k schedule.
+    rvq_start = min(cfg.rvq_iter, cfg.iterations - max(1, cfg.iterations // 30))
 
     cam_arrays = [camera_to_arrays(c) for c in cams]
     guide_arrays = [camera_to_arrays(c, image=np.asarray(guides[c.image_name]))
@@ -412,23 +420,49 @@ def train(
             stack = list(rng.permutation(len(cams)))
         ci = stack.pop()
 
+        # Seed RVQ codebooks at the QAT boundary (final_prune's k-means init
+        # moved up so the remaining iterations train through quantization).
+        if it == rvq_start + 1 and trainer.rvq_scale is None:
+            key, k1, k2 = jax.random.split(key, 3)
+            active_np = np.asarray(trainer.gstate.active)
+            scales_a = G.get_scaling(trainer.gstate)[active_np]
+            rots_a = G.get_rotation(trainer.gstate)[active_np]
+            trainer = trainer._replace(
+                rvq_scale=rvq_mod.kmeans_init(k1, scales_a, cfg.rvq_num, cfg.rvq_size),
+                rvq_rot=rvq_mod.kmeans_init(k2, rots_a, cfg.rvq_num, cfg.rvq_size),
+            )
+        use_rvq = it > rvq_start and trainer.rvq_scale is not None
+
         if it < cfg.freeze_iters:
-            trainer, metrics = get_step("photometric", cams[ci])(
+            trainer, metrics = get_step("photometric", cams[ci], use_rvq)(
                 trainer, cam_arrays[ci], style_f, bg)
         else:
-            trainer, metrics = get_step("style", cams[ci])(
+            trainer, metrics = get_step("style", cams[ci], use_rvq)(
                 trainer, guide_arrays[ci], style_f, bg)
+
+        if use_rvq:
+            # Learnable-codebook stand-in: one masked means step per iter
+            # (reference attaches the RVQ codebooks to the Adam optimizer).
+            act = trainer.gstate.active
+            trainer = trainer._replace(
+                rvq_scale=rvq_mod.update_codebooks(
+                    trainer.rvq_scale, G.get_scaling(trainer.gstate), act),
+                rvq_rot=rvq_mod.update_codebooks(
+                    trainer.rvq_rot, G.get_rotation(trainer.gstate), act),
+            )
 
         # Densification schedule (train.py:264-293).
         if it < cfg.densify_until_iter:
             if it > cfg.densify_from_iter and it % cfg.densification_interval == 0:
+                # Capture grads before cloning: appends reset the accumulators.
+                grads = G.avg_densify_grads(trainer.gstate)
                 gstate, slots_c = G.densify_and_clone(
                     trainer.gstate, cfg.densify_grad_threshold,
-                    cfg.percent_dense, scene.cameras_extent)
+                    cfg.percent_dense, scene.cameras_extent, grads=grads)
                 key, sub = jax.random.split(key)
                 gstate, slots_s = G.densify_and_split(
                     gstate, sub, cfg.densify_grad_threshold,
-                    cfg.percent_dense, scene.cameras_extent)
+                    cfg.percent_dense, scene.cameras_extent, grads=grads)
                 size_thr = 20.0 if it > cfg.opacity_reset_interval else 0.0
                 gstate = G.prune(gstate, 0.005, scene.cameras_extent, size_thr)
                 gstate = G.reset_stats(gstate)
@@ -476,13 +510,18 @@ def train(
             ckpt_dir = Path(checkpoint_dir or (Path(guide_out) / "checkpoints"))
             save_checkpoint(ckpt_dir / f"chkpnt{it}", trainer)
 
-    # Final: mask prune + RVQ codebooks (final_prune parity, :607-651).
+    # Final: mask prune (final_prune parity, :607-651). Codebooks were
+    # k-means-seeded at rvq_start and trained through the QAT phase above;
+    # seed them here only if the loop never reached the boundary (resume
+    # from a checkpoint past rvq_start with no codebooks).
     trainer = trainer._replace(gstate=G.mask_prune(trainer.gstate))
-    key, k1, k2 = jax.random.split(key, 3)
-    active = trainer.gstate.active
-    scales = G.get_scaling(trainer.gstate)
-    rots = G.get_rotation(trainer.gstate)
-    rvq_scale = rvq_mod.kmeans_init(k1, scales[active], cfg.rvq_num, cfg.rvq_size)
-    rvq_rot = rvq_mod.kmeans_init(k2, rots[active], cfg.rvq_num, cfg.rvq_size)
-    trainer = trainer._replace(rvq_scale=rvq_scale, rvq_rot=rvq_rot)
+    if trainer.rvq_scale is None:
+        key, k1, k2 = jax.random.split(key, 3)
+        active = np.asarray(trainer.gstate.active)
+        scales = G.get_scaling(trainer.gstate)[active]
+        rots = G.get_rotation(trainer.gstate)[active]
+        trainer = trainer._replace(
+            rvq_scale=rvq_mod.kmeans_init(k1, scales, cfg.rvq_num, cfg.rvq_size),
+            rvq_rot=rvq_mod.kmeans_init(k2, rots, cfg.rvq_num, cfg.rvq_size),
+        )
     return trainer, style_f

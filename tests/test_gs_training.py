@@ -186,3 +186,108 @@ def test_multiview_recovers_ground_truth_scene(rng):
                              make_settings_from_dims(48, 48, cfg))
     err = float(np.abs(np.clip(np.asarray(out.render), 0, 1) - gts[0]).mean())
     assert err < 0.08, err
+
+
+def test_densification_stats_in_ndc_units(rng):
+    """Accumulated grad norms must be in the reference's NDC units (pixel
+    gradients scaled by 0.5*W / 0.5*H), which densify_grad_threshold=0.0002
+    is calibrated against (ADVICE r1 high)."""
+    from aip_tpu.gs import gaussians as G
+
+    pts = jnp.asarray(rng.random((8, 3)).astype(np.float32))
+    cols = jnp.asarray(rng.random((8, 3)).astype(np.float32))
+    state, _ = G.create_from_pcd(pts, cols, 16)
+    g = jnp.zeros((16, 2)).at[0].set(jnp.asarray([3e-4, 4e-4]))
+    radii = jnp.zeros(16).at[0].set(2.0)
+    W, H = 800, 600
+    state = G.add_densification_stats(state, g, radii, width=W, height=H)
+    got = float(state.xyz_grad_accum[0, 0])
+    want = float(np.hypot(3e-4 * 0.5 * W, 4e-4 * 0.5 * H))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # A pixel-space gradient of ~1e-6/px at 800px width lands near the 2e-4
+    # threshold -- without the scaling it would be 400x below it.
+    assert got >= 0.0002
+
+
+def test_densification_fires_at_default_threshold(tmp_path, rng, monkeypatch):
+    """After a few photometric steps on a fresh scene, the default
+    densify_grad_threshold must select a nonzero set (regression for the
+    pixel-vs-NDC gradient unit bug)."""
+    from aip_tpu.gs import gaussians as G
+    from aip_tpu.models import weights as weights_mod
+
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+    scene = _make_scene(tmp_path, rng, size=64)
+    cfg = _tiny_cfg(style_dim=0, capacity=512)
+    pcd = scene.point_cloud
+    trainer = init_trainer(cfg, pcd.points[:200], pcd.colors[:200],
+                           scene.cameras_extent)
+    cam = scene.getTrainCameras()[0]
+    step = make_train_step(cfg, scene.cameras_extent, "photometric",
+                           cam.image_height, cam.image_width)
+    arrays = camera_to_arrays(cam)
+    for _ in range(10):
+        trainer, _m = step(trainer, arrays, None, jnp.zeros(3))
+
+    gstate = trainer.gstate
+    grads = np.asarray(gstate.xyz_grad_accum / np.maximum(gstate.denom, 1.0))[:, 0]
+    n_over = int(((grads >= cfg.densify_grad_threshold)
+                  & np.asarray(gstate.active)).sum())
+    assert n_over > 0, f"max avg grad {grads.max():.2e} never crossed 2e-4"
+
+    n_before = int(gstate.n_active)
+    g = G.avg_densify_grads(gstate)
+    gstate, _ = G.densify_and_clone(gstate, cfg.densify_grad_threshold,
+                                    cfg.percent_dense, scene.cameras_extent,
+                                    grads=g)
+    key = jax.random.PRNGKey(0)
+    gstate, _ = G.densify_and_split(gstate, key, cfg.densify_grad_threshold,
+                                    cfg.percent_dense, scene.cameras_extent,
+                                    grads=g)
+    assert int(gstate.n_active) > n_before
+
+
+def test_rvq_qat_phase_trains_codebooks(tmp_path, rng, monkeypatch, style_img):
+    """train() must actually run the quantization-aware fine-tune: codebooks
+    exist, were updated from their k-means seed, and the trained geometry is
+    consistent through the quantized render path (ADVICE r1 medium)."""
+    from aip_tpu.models import weights as weights_mod
+
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+    scene = _make_scene(tmp_path, rng)
+    scene.scene_info.point_cloud.points = scene.scene_info.point_cloud.points[:120]
+    scene.scene_info.point_cloud.colors = scene.scene_info.point_cloud.colors[:120]
+
+    # iterations=30 -> rvq_start = 30 - 1 = 29: the last step runs QAT.
+    cfg = _tiny_cfg(iterations=30, freeze_iters=10, densify_from_iter=10**6)
+    seen = []
+    orig = make_train_step
+
+    def spy(cfg_, slr, phase, h, w, use_rvq=False):
+        seen.append(use_rvq)
+        return orig(cfg_, slr, phase, h, w, use_rvq=use_rvq)
+
+    import aip_tpu.gs.train as train_mod
+
+    monkeypatch.setattr(train_mod, "make_train_step", spy)
+    trainer, _sf = train(scene, style_img, cfg, img_size=32,
+                         guide_dir=str(tmp_path / "guides"))
+    assert True in seen, "no use_rvq=True step was ever compiled"
+    assert trainer.rvq_scale is not None
+    assert np.isfinite(np.asarray(trainer.rvq_scale.codebooks)).all()
+    assert np.isfinite(np.asarray(trainer.gstate.xyz)).all()
+
+
+def test_update_codebooks_mask_excludes_rows(rng):
+    """Masked rows must not influence codebook updates."""
+    from aip_tpu.gs import rvq as rvq_mod
+
+    data = jnp.asarray(rng.standard_normal((64, 3)).astype(np.float32))
+    state = rvq_mod.kmeans_init(jax.random.PRNGKey(1), data[:32], 2, 8)
+    mask = jnp.arange(64) < 32
+    # Garbage in the masked tail must not change the result.
+    poisoned = data.at[32:].set(1e3)
+    a = rvq_mod.update_codebooks(state, data, mask)
+    b = rvq_mod.update_codebooks(state, poisoned, mask)
+    np.testing.assert_allclose(np.asarray(a.codebooks), np.asarray(b.codebooks),
+                               atol=1e-5)
