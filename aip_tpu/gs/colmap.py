@@ -92,9 +92,13 @@ def read_images_binary(path) -> dict:
                     break
                 name += c
             (n_pts,) = _read(f, "<Q")
-            data = np.fromfile(f, np.float64, count=3 * n_pts).reshape(-1, 3)
-            xys = data[:, :2]
-            ids = data[:, 2].astype(np.int64)
+            # Each POINT2D record is (double x, double y, int64 point3D_id):
+            # read with a structured dtype so the id bits are not
+            # reinterpreted as a double (-1 would become NaN).
+            rec = np.dtype([("xy", "<f8", (2,)), ("id", "<i8")])
+            data = np.fromfile(f, rec, count=n_pts)
+            xys = data["xy"].reshape(-1, 2)
+            ids = data["id"].astype(np.int64)
             images[img_id] = ColmapImage(img_id, qvec, tvec, cam_id, name.decode(), xys, ids)
     return images
 

@@ -84,6 +84,26 @@ def huffman_decode(packed: np.ndarray, codes: dict, n_symbols: int) -> np.ndarra
     return bitcodec.unpack(np.asarray(packed), n_symbols, tables)
 
 
+def _encode_stream(symbols: np.ndarray) -> dict:
+    """Huffman-encode a flat int stream into npz-storable arrays: packed
+    bitstream + (symbol, code-length) table (canonical codes are fully
+    determined by the lengths)."""
+    packed, codes, n, total_bits = huffman_encode(symbols)
+    syms = np.fromiter(codes.keys(), np.int64, len(codes))
+    lens = np.fromiter((codes[int(s)][1] for s in syms), np.uint8, len(syms))
+    return {"packed": packed, "syms": syms, "lens": lens,
+            "n": np.int64(n), "bits": np.int64(total_bits)}
+
+
+def _decode_stream(d, prefix: str) -> np.ndarray:
+    from aip_tpu.runtime import bitcodec
+
+    lengths = {int(s): int(l) for s, l in zip(d[f"{prefix}_syms"], d[f"{prefix}_lens"])}
+    _codes, tables = bitcodec.canonical_codes(lengths)
+    return bitcodec.unpack(np.asarray(d[f"{prefix}_packed"]),
+                           int(d[f"{prefix}_n"]), tables)
+
+
 def huffman_size_bytes(symbols: np.ndarray) -> float:
     """Entropy-coded size in bytes (codebook overhead excluded, as in the
     reference's accounting which reports the coded stream)."""
@@ -151,22 +171,36 @@ def save_npz(path, state: G.GaussianState, field, rvq_scale: rvq_mod.RVQState,
         mlp["style_w"] = np.asarray(field.style_w).astype(np.float16)
         mlp["style_b"] = np.asarray(field.style_b).astype(np.float16)
 
+    # Entropy-code the index/grid streams so the on-disk artifact is the
+    # Huffman bitstream the storage report describes (reference save_npz /
+    # huffman_encode path, gaussian_model.py:295-333,590-605).
+    sc_stream = _encode_stream(sc_idx.ravel())
+    ro_stream = _encode_stream(ro_idx.ravel())
+    hash_stream = _encode_stream(hash_codes.ravel().astype(np.int64))
+
     np.savez_compressed(
         str(path),
         xyz=xyz, opacity=opacity,
-        sc_idx=sc_idx, ro_idx=ro_idx,
+        sc_shape=np.asarray(sc_idx.shape), ro_shape=np.asarray(ro_idx.shape),
         sc_books=np.asarray(rvq_scale.codebooks).astype(np.float16),
         ro_books=np.asarray(rvq_rot.codebooks).astype(np.float16),
-        hash_q=hash_codes, hash_scale=np.asarray(hash_scale),
+        hash_shape=np.asarray(np.asarray(field.hash_tables).shape),
+        hash_scale=np.asarray(hash_scale),
+        **{f"sc_{k}": v for k, v in sc_stream.items()},
+        **{f"ro_{k}": v for k, v in ro_stream.items()},
+        **{f"hash_{k}": v for k, v in hash_stream.items()},
         **mlp,
     )
 
-    # Storage accounting (final_prune :624-647 format).
+    # Storage accounting (final_prune :624-647 format) from the ACTUAL
+    # serialized bitstream sizes.
     pos_mb = xyz.nbytes / 1e6
-    sc_mb = huffman_size_bytes(sc_idx.ravel()) / 1e6 + np.asarray(rvq_scale.codebooks).astype(np.float16).nbytes / 1e6
-    ro_mb = huffman_size_bytes(ro_idx.ravel()) / 1e6 + np.asarray(rvq_rot.codebooks).astype(np.float16).nbytes / 1e6
+    sc_mb = (sc_stream["packed"].nbytes
+             + np.asarray(rvq_scale.codebooks).astype(np.float16).nbytes) / 1e6
+    ro_mb = (ro_stream["packed"].nbytes
+             + np.asarray(rvq_rot.codebooks).astype(np.float16).nbytes) / 1e6
     op_mb = opacity.nbytes / 1e6
-    hash_mb = huffman_size_bytes(hash_codes.ravel()) / 1e6
+    hash_mb = hash_stream["packed"].nbytes / 1e6
     mlp_mb = sum(v.nbytes for v in mlp.values()) / 1e6
     total = pos_mb + sc_mb + ro_mb + op_mb + hash_mb + mlp_mb
     report = (
@@ -271,8 +305,13 @@ def load_npz(path, capacity: int | None = None):
 
     rvq_scale = rvq_mod.RVQState(jnp.asarray(d["sc_books"].astype(np.float32)))
     rvq_rot = rvq_mod.RVQState(jnp.asarray(d["ro_books"].astype(np.float32)))
-    scales = np.asarray(rvq_mod.decode(rvq_scale, jnp.asarray(d["sc_idx"])))
-    rots = np.asarray(rvq_mod.decode(rvq_rot, jnp.asarray(d["ro_idx"])))
+    if "sc_packed" in d:
+        sc_idx = _decode_stream(d, "sc").reshape(tuple(d["sc_shape"]))
+        ro_idx = _decode_stream(d, "ro").reshape(tuple(d["ro_shape"]))
+    else:  # pre-entropy-coded format
+        sc_idx, ro_idx = d["sc_idx"], d["ro_idx"]
+    scales = np.asarray(rvq_mod.decode(rvq_scale, jnp.asarray(sc_idx)))
+    rots = np.asarray(rvq_mod.decode(rvq_rot, jnp.asarray(ro_idx)))
 
     def pad(x, fill=0.0):
         return np.pad(x, [(0, cap - n)] + [(0, 0)] * (x.ndim - 1), constant_values=fill)
@@ -289,7 +328,11 @@ def load_npz(path, capacity: int | None = None):
         denom=jnp.zeros((cap, 1)),
     )
 
-    hash_tables = d["hash_q"].astype(np.float32) * d["hash_scale"]
+    if "hash_packed" in d:
+        hash_q = _decode_stream(d, "hash").reshape(tuple(d["hash_shape"]))
+    else:  # pre-entropy-coded format
+        hash_q = d["hash_q"]
+    hash_tables = hash_q.astype(np.float32) * d["hash_scale"]
     field = ColorFieldParams(
         hash_tables=jnp.asarray(hash_tables),
         mlp_w1=jnp.asarray(d["mlp_mlp_w1"].astype(np.float32)),

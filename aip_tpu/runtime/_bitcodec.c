@@ -31,10 +31,12 @@ long long pack_bits(const uint32_t *codes, const uint8_t *lengths,
 
 /* Canonical Huffman decode: first_code[l] / first_rank[l] give, per code
  * length l (1..max_len), the first canonical code value and the rank of its
- * symbol; symbols_by_rank maps rank -> symbol. Returns symbols decoded, or
- * -1 on malformed input. */
-long long unpack_canonical(const uint8_t *packed, long long n_symbols,
-                           int max_len, const uint32_t *first_code,
+ * symbol; symbols_by_rank maps rank -> symbol. packed_bits bounds reads into
+ * the packed buffer so a truncated/corrupt stream fails cleanly. Returns
+ * symbols decoded, or -1 on malformed input. */
+long long unpack_canonical(const uint8_t *packed, long long packed_bits,
+                           long long n_symbols, int max_len,
+                           const uint32_t *first_code,
                            const int64_t *first_rank,
                            const int64_t *symbols_by_rank, int64_t *out) {
     long long bitpos = 0;
@@ -43,14 +45,13 @@ long long unpack_canonical(const uint8_t *packed, long long n_symbols,
         int len = 0;
         int found = 0;
         while (len < max_len) {
+            if (bitpos >= packed_bits) return -1; /* truncated stream */
             code = (code << 1) |
                    ((packed[bitpos >> 3] >> (7 - (bitpos & 7))) & 1u);
             ++bitpos;
             ++len;
             /* A length is "active" iff first_rank[len+1] > first_rank[len];
-             * the code belongs to this length iff it is below the next
-             * length's scaled first code. */
-            uint32_t next_first = first_code[len + 1] >> 1; /* scaled down */
+             * the code belongs to it iff it falls inside that rank span. */
             if (first_rank[len + 1] > first_rank[len] || len == max_len) {
                 uint32_t fc = first_code[len];
                 int64_t span = first_rank[len + 1] - first_rank[len];
@@ -60,7 +61,6 @@ long long unpack_canonical(const uint8_t *packed, long long n_symbols,
                     break;
                 }
             }
-            (void)next_first;
         }
         if (!found) return -1;
     }

@@ -50,7 +50,8 @@ def _load_native():
         ]
         lib.unpack_canonical.restype = ctypes.c_longlong
         lib.unpack_canonical.argtypes = [
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+            ctypes.c_longlong, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ]
@@ -147,7 +148,7 @@ def unpack(packed: np.ndarray, n_symbols: int, decode_tables):
     if lib is not None:
         got = lib.unpack_canonical(
             packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            n_symbols, int(max_len),
+            int(packed.size) * 8, n_symbols, int(max_len),
             first_code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
             first_rank.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             symbols_by_rank.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -155,14 +156,17 @@ def unpack(packed: np.ndarray, n_symbols: int, decode_tables):
         )
         if got == n_symbols:
             return out
+        raise ValueError("malformed bitstream")
 
-    # Python fallback (and safety net if the native decode rejects).
+    # Python fallback.
     bits = np.unpackbits(packed)
     pos = 0
     for i in range(n_symbols):
         code = 0
         length = 0
         while True:
+            if length >= max_len or pos >= bits.size:
+                raise ValueError("malformed bitstream")
             code = (code << 1) | int(bits[pos])
             pos += 1
             length += 1
@@ -171,6 +175,4 @@ def unpack(packed: np.ndarray, n_symbols: int, decode_tables):
             if span > 0 and code >= fc and code - fc < span:
                 out[i] = symbols_by_rank[first_rank[length] + (code - fc)]
                 break
-            if length > max_len:
-                raise ValueError("malformed bitstream")
     return out

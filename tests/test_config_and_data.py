@@ -74,3 +74,27 @@ def test_flat_folder_dataset(tmp_path, rng):
 def test_empty_folder_raises(tmp_path):
     with pytest.raises(ValueError):
         FlatFolderDataset(tmp_path)
+
+
+def test_read_images_binary_point3d_ids(tmp_path):
+    """POINT2D records are (double x, double y, int64 id); the id must not
+    be reinterpreted as a double (-1 -> NaN) (ADVICE r1 low)."""
+    import struct
+
+    from aip_tpu.gs.colmap import read_images_binary
+
+    p = tmp_path / "images.bin"
+    with open(p, "wb") as f:
+        f.write(struct.pack("<Q", 1))                      # n images
+        f.write(struct.pack("<i", 7))                      # image id
+        f.write(struct.pack("<4d", 1.0, 0.0, 0.0, 0.0))    # qvec
+        f.write(struct.pack("<3d", 0.1, 0.2, 0.3))         # tvec
+        f.write(struct.pack("<i", 1))                      # camera id
+        f.write(b"img.png\x00")
+        f.write(struct.pack("<Q", 2))                      # n points2D
+        f.write(struct.pack("<ddq", 10.5, 20.5, -1))
+        f.write(struct.pack("<ddq", 30.0, 40.0, 12345))
+    images = read_images_binary(p)
+    img = images[7]
+    np.testing.assert_allclose(img.xys, [[10.5, 20.5], [30.0, 40.0]])
+    assert img.point3D_ids.tolist() == [-1, 12345]

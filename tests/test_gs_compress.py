@@ -204,3 +204,49 @@ def test_bitcodec_canonical_and_fallback(rng):
         np.testing.assert_array_equal(out_py, symbols)
     finally:
         bitcodec._LIB = saved
+
+
+def test_bitcodec_truncated_stream_raises(rng):
+    """A truncated/corrupt bitstream must fail cleanly (no OOB reads) on
+    both the native and the numpy decode paths (ADVICE r1 low)."""
+    from aip_tpu.runtime import bitcodec
+
+    symbols = rng.integers(0, 64, 500)
+    lengths = {s: l for s, (_c, l) in C.huffman_build(symbols).items()}
+    codes, tables = bitcodec.canonical_codes(lengths)
+    packed, _bits = bitcodec.pack(symbols, codes)
+    truncated = packed[: max(1, len(packed) // 4)].copy()
+
+    with pytest.raises(ValueError):
+        bitcodec.unpack(truncated, len(symbols), tables)
+    saved = bitcodec._LIB
+    try:
+        bitcodec._LIB = None
+        with pytest.raises(ValueError):
+            bitcodec.unpack(truncated, len(symbols), tables)
+    finally:
+        bitcodec._LIB = saved
+
+
+def test_npz_stores_entropy_coded_streams(tmp_path, rng):
+    """The npz artifact must hold the packed Huffman bitstreams (what the
+    storage report accounts for), not raw index arrays (ADVICE r1 low)."""
+    from aip_tpu.gs import gaussians as G
+    from aip_tpu.gs import rvq as rvq_mod
+    from aip_tpu.gs.colorfield import init_colorfield
+
+    pts = jnp.asarray(rng.random((60, 3)).astype(np.float32))
+    cols = jnp.asarray(rng.random((60, 3)).astype(np.float32))
+    state, _ = G.create_from_pcd(pts, cols, 64)
+    field = init_colorfield(jax.random.PRNGKey(0), style_dim=None, log2_hashmap=8)
+    scales = G.get_scaling(state)[np.asarray(state.active)]
+    rots = G.get_rotation(state)[np.asarray(state.active)]
+    rvq_s = rvq_mod.kmeans_init(jax.random.PRNGKey(1), scales, 2, 8)
+    rvq_r = rvq_mod.kmeans_init(jax.random.PRNGKey(2), rots, 2, 8)
+
+    report = C.save_npz(tmp_path / "m.npz", state, field, rvq_s, rvq_r)
+    d = np.load(tmp_path / "m.npz")
+    assert "sc_packed" in d and "ro_packed" in d and "hash_packed" in d
+    assert "sc_idx" not in d and "hash_q" not in d
+    assert d["sc_packed"].dtype == np.uint8
+    assert "total" in report
