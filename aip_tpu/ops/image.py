@@ -112,17 +112,34 @@ def resize_bicubic(x: jax.Array, size: tuple[int, int]) -> jax.Array:
     return out[0] if squeeze else out
 
 
-def resize_bilinear(x: jax.Array, size: tuple[int, int], antialias: bool = False) -> jax.Array:
+@functools.lru_cache(maxsize=256)
+def _bilinear_matrix_ac(n_in: int, n_out: int) -> np.ndarray:
+    """Dense [n_out, n_in] matrix for ``align_corners=True`` bilinear."""
+    i = np.arange(n_out, dtype=np.float64)
+    x = i * ((n_in - 1) / (n_out - 1)) if n_out > 1 else np.zeros(1)
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, n_in - 1)
+    x1 = np.clip(x0 + 1, 0, n_in - 1)
+    t = x - x0
+    mat = np.zeros((n_out, n_in), dtype=np.float64)
+    np.add.at(mat, (np.arange(n_out), x0), 1.0 - t)
+    np.add.at(mat, (np.arange(n_out), x1), t)
+    return mat.astype(np.float32)
+
+
+def resize_bilinear(x: jax.Array, size: tuple[int, int], antialias: bool = False,
+                    align_corners: bool = False) -> jax.Array:
     """Bilinear resize, ``F.interpolate(mode='bilinear', align_corners=False)``
     parity (antialias=False) or torchvision/PIL ``Resize`` parity
-    (antialias=True). NHWC or HWC."""
+    (antialias=True); ``align_corners=True`` matches torch's align_corners
+    interpolation (used by MiDaS feature-fusion upsampling). NHWC or HWC."""
     x, squeeze = _ensure_nhwc(x)
     h, w = x.shape[1], x.shape[2]
-    out = _apply_separable(
-        x,
-        _bilinear_matrix(h, size[0], antialias),
-        _bilinear_matrix(w, size[1], antialias),
-    )
+    if align_corners:
+        mh, mw = _bilinear_matrix_ac(h, size[0]), _bilinear_matrix_ac(w, size[1])
+    else:
+        mh = _bilinear_matrix(h, size[0], antialias)
+        mw = _bilinear_matrix(w, size[1], antialias)
+    out = _apply_separable(x, mh, mw)
     return out[0] if squeeze else out
 
 

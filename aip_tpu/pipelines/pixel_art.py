@@ -360,13 +360,41 @@ def depixelize_and_stylize(
     depth_prominence: float = 20.0,
     output: str = "output",
     file_name: str = "depixelized_stylized",
+    method: str = "adain",
 ):
     """Depixelize then style-transfer the vector raster
-    (gui/second_page.py:386-619 Depixelize_pipeline parity; the AdaIN-depth
-    branch :491). Returns the stylized image path."""
+    (gui/second_page.py:386-619 Depixelize_pipeline parity). ``method``
+    selects the AdaIN-depth branch (:491) or the fast feed-forward stylizer
+    branch (:504-507, TF-Hub magenta in the reference —
+    aip_tpu.models.magenta here). Returns the stylized image path."""
+    vector_raster = depixelize(image, scale)
+
+    if method == "fast":
+        from PIL import Image as PILImage
+
+        import jax.numpy as jnp
+
+        from aip_tpu.models.magenta import make_fast_stylizer
+        from aip_tpu.pipelines.adain_infer import _to_array
+        from aip_tpu.ops.image import resize_bilinear
+
+        content = _to_array(vector_raster)
+        style = _to_array(style_image)
+        # The hub module consumes a 256px style (gui/second_page.py:505).
+        style = np.asarray(resize_bilinear(jnp.asarray(style), (256, 256),
+                                           antialias=True))
+        h = content.shape[0] // 4 * 4
+        w = content.shape[1] // 4 * 4
+        out = make_fast_stylizer()(content[None, :h, :w], style)[0]
+        out_dir = Path(output)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        p = out_dir / f"{file_name}.jpg"
+        PILImage.fromarray(
+            (np.clip(np.asarray(out), 0, 1) * 255).astype(np.uint8)).save(p)
+        return p
+
     from aip_tpu.pipelines.adain_infer import adain_inference
 
-    vector_raster = depixelize(image, scale)
     return adain_inference(
         content_img=vector_raster, style_img=style_image,
         use_depth=use_depth, depth_offset=depth_offset,
