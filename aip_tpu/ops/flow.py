@@ -156,3 +156,123 @@ def estimate_flow(frame1: jax.Array, frame2: jax.Array,
 def blend_images(stylized: jax.Array, warped: jax.Array, alpha: float) -> jax.Array:
     """`video/utils.py:223-229` parity: alpha*stylized + (1-alpha)*warped."""
     return jnp.clip(alpha * stylized + (1.0 - alpha) * warped, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# TV-L1 (Zach-Pock-Bischof) — the reference's DualTVL1 default
+# (`video/utils.py:75-86`, cv2.optflow.DualTVL1OpticalFlow). Primal-dual:
+# per warp, a pointwise thresholding step on the linearized data term and a
+# Chambolle dual ascent for the TV prior. Everything is elementwise algebra +
+# gathers, so it jit-compiles and vmaps like the LK path.
+# ---------------------------------------------------------------------------
+
+def _grad_fwd(x: jax.Array):
+    """Forward differences with Neumann boundary (zero at the far edge)."""
+    gx = jnp.diff(x, axis=1, append=x[:, -1:])
+    gy = jnp.diff(x, axis=0, append=x[-1:, :])
+    return gx, gy
+
+
+def _div(px: jax.Array, py: jax.Array) -> jax.Array:
+    """Backward divergence, the negative adjoint of ``_grad_fwd``."""
+    dx = px - jnp.roll(px, 1, axis=1)
+    dx = dx.at[:, 0].set(px[:, 0]).at[:, -1].set(-px[:, -2])
+    dy = py - jnp.roll(py, 1, axis=0)
+    dy = dy.at[0, :].set(py[0, :]).at[-1, :].set(-py[-2, :])
+    return dx + dy
+
+
+def _tvl1_level(i0, i1, flow, warps, iters, lam, theta, tau):
+    h, w = i0.shape
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    kx = np.array([[-0.5, 0.0, 0.5]], np.float32)
+    i1x_full = _conv2_same(i1, kx)
+    i1y_full = _conv2_same(i1, kx.T)
+    l_t = lam * theta
+    taut = tau / theta
+
+    def warp_body(_, carry):
+        u1, u2, p = carry
+        u1_0 = jax.lax.stop_gradient(u1)
+        u2_0 = jax.lax.stop_gradient(u2)
+        i1w = bilinear_sample(i1, ys + u2_0, xs + u1_0)
+        i1wx = bilinear_sample(i1x_full, ys + u2_0, xs + u1_0)
+        i1wy = bilinear_sample(i1y_full, ys + u2_0, xs + u1_0)
+        grad2 = i1wx * i1wx + i1wy * i1wy
+        rho_c = i1w - i1wx * u1_0 - i1wy * u2_0 - i0
+
+        def inner(_, carry):
+            u1, u2, p = carry
+            rho = rho_c + i1wx * u1 + i1wy * u2
+            mask_lo = rho < -l_t * grad2
+            mask_hi = rho > l_t * grad2
+            safe = jnp.maximum(grad2, 1e-8)
+            d1 = jnp.where(mask_lo, l_t * i1wx,
+                           jnp.where(mask_hi, -l_t * i1wx, -rho * i1wx / safe))
+            d2 = jnp.where(mask_lo, l_t * i1wy,
+                           jnp.where(mask_hi, -l_t * i1wy, -rho * i1wy / safe))
+            v1 = u1 + d1
+            v2 = u2 + d2
+            # TV denoise each flow component via one Chambolle dual step.
+            p11, p12, p21, p22 = p
+            u1 = v1 + theta * _div(p11, p12)
+            u2 = v2 + theta * _div(p21, p22)
+            u1x, u1y = _grad_fwd(u1)
+            u2x, u2y = _grad_fwd(u2)
+            n1 = 1.0 + taut * jnp.sqrt(u1x * u1x + u1y * u1y)
+            n2 = 1.0 + taut * jnp.sqrt(u2x * u2x + u2y * u2y)
+            p = ((p11 + taut * u1x) / n1, (p12 + taut * u1y) / n1,
+                 (p21 + taut * u2x) / n2, (p22 + taut * u2y) / n2)
+            return u1, u2, p
+
+        return jax.lax.fori_loop(0, iters, inner, (u1, u2, p))
+
+    zeros = jnp.zeros((h, w), jnp.float32)
+    u1, u2, _p = jax.lax.fori_loop(
+        0, warps, warp_body,
+        (flow[..., 0], flow[..., 1], (zeros, zeros, zeros, zeros)))
+    return jnp.stack([u1, u2], axis=-1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("levels", "warps", "iters"))
+def estimate_flow_tvl1(frame1: jax.Array, frame2: jax.Array,
+                       levels: int = 4, warps: int = 5, iters: int = 300,
+                       lam: float = 0.15, theta: float = 0.3,
+                       tau: float = 0.25) -> jax.Array:
+    """DualTVL1-style dense flow frame1 -> frame2, [H, W, 2] (dx, dy).
+
+    Defaults mirror cv2 DualTVL1 (lambda 0.15, theta 0.3, tau 0.25, 5 warps,
+    300 = outer 10 x inner 30 primal-dual iterations per warp — TV
+    information propagates one pixel per iteration, so the full budget is
+    needed for exact convergence); median filtering is omitted (the TV prior
+    already regularizes). Fixed trip counts instead of cv2's epsilon exit
+    keep the program a static-shape lax.fori_loop nest for XLA."""
+    g0 = rgb_to_gray(frame1.astype(jnp.float32))
+    g1 = rgb_to_gray(frame2.astype(jnp.float32))
+
+    pyr0, pyr1 = [g0], [g1]
+    for _ in range(levels - 1):
+        pyr0.append(_downsample2(pyr0[-1]))
+        pyr1.append(_downsample2(pyr1[-1]))
+
+    flow = jnp.zeros((*pyr0[-1].shape, 2), jnp.float32)
+    for lvl in range(levels - 1, -1, -1):
+        flow = _tvl1_level(pyr0[lvl], pyr1[lvl], flow, warps, iters,
+                           lam, theta, tau)
+        if lvl > 0:
+            th, tw = pyr0[lvl - 1].shape
+            from aip_tpu.ops.image import resize_bilinear
+
+            flow = resize_bilinear(flow[None], (th, tw))[0] * 2.0
+    return flow
+
+
+FLOW_METHODS = {"lk": estimate_flow, "tvl1": estimate_flow_tvl1}
+
+
+def estimate_flow_method(frame1, frame2, method: str = "lk", **kw):
+    """Dispatch on flow algorithm (`video/utils.py:75-86`'s
+    Farneback-vs-DualTVL1 switch; here pyramidal-LK vs TV-L1)."""
+    return FLOW_METHODS[method](frame1, frame2, **kw)

@@ -22,6 +22,7 @@ whole stylize->flow->blend graph stays on device.
 
 from __future__ import annotations
 
+import functools
 import os
 from pathlib import Path
 
@@ -34,7 +35,8 @@ from aip_tpu.models.vgg import vgg_encode
 from aip_tpu.models.decoder import decoder_apply
 from aip_tpu.ops.adain import calc_mean_std
 from aip_tpu.ops.depth import compute_stylization_strength_map
-from aip_tpu.ops.flow import estimate_flow, warp_image, blend_images
+from aip_tpu.ops.flow import (estimate_flow, estimate_flow_method,
+                              warp_image, blend_images)
 from aip_tpu.ops.image import resize_bilinear
 from aip_tpu.pipelines.adain_infer import _to_array, precompute_style_stats
 
@@ -124,10 +126,15 @@ def _stylize_frames(vgg_params, dec_params, frames, s_mean, s_std,
 _stylize_frames_jit = jax.jit(_stylize_frames, static_argnames=("offset", "prominence", "compute_dtype"))
 
 
-@jax.jit
-def _batch_flows(frames: jax.Array) -> jax.Array:
-    """[N, H, W, 3] -> [N-1, H, W, 2] flows between consecutive frames."""
-    return jax.vmap(estimate_flow)(frames[:-1], frames[1:])
+@functools.partial(jax.jit, static_argnames=("method",))
+def _batch_flows(frames: jax.Array, method: str = "lk") -> jax.Array:
+    """[N, H, W, 3] -> [N-1, H, W, 2] flows between consecutive frames.
+
+    ``method`` picks the flow algorithm ('lk' | 'tvl1'), mirroring the
+    reference's Farneback-vs-DualTVL1 switch (`video/utils.py:75-86`; its
+    video path defaults to DualTVL1)."""
+    f = lambda a, b: estimate_flow_method(a, b, method=method)
+    return jax.vmap(f)(frames[:-1], frames[1:])
 
 
 @jax.jit
@@ -159,6 +166,7 @@ def apply_style_transfer_multi_ada(
     dec_params=None,
     compute_dtype=jnp.bfloat16,
     shard: bool = True,
+    flow_method: str = "tvl1",
 ) -> list:
     """Stylize a frame directory against a style directory (multi-style).
 
@@ -227,7 +235,7 @@ def apply_style_transfer_multi_ada(
     if cancel_flag is not None and getattr(cancel_flag, "is_set", lambda: False)():
         return []
 
-    flows = _batch_flows(frames_j)
+    flows = _batch_flows(frames_j, method=flow_method)
     blended = np.asarray(_temporal_blend(stylized, flows, alpha))
 
     out_paths = []
@@ -257,6 +265,7 @@ def apply_style_transfer(
     target_resolution=(256, 256),
     alpha: float = 0.7,
     cancel_flag=None,
+    flow_method: str = "tvl1",
     **kw,
 ) -> list:
     """Feed-forward-stylizer video path (video/utils.py:108-154 parity).
@@ -285,7 +294,7 @@ def apply_style_transfer(
     style = np.asarray(resize_bilinear(jnp.asarray(_to_array(style_image_path)),
                                        (h, w), antialias=True))
     stylized = jnp.asarray(np.asarray(_FAST_STYLIZE(frames, style), np.float32))
-    flows = _batch_flows(jnp.asarray(frames))
+    flows = _batch_flows(jnp.asarray(frames), method=flow_method)
     blended = np.asarray(_temporal_blend(stylized, flows, alpha))
     out_paths = []
     for i, name in enumerate(names):

