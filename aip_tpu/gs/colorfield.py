@@ -187,6 +187,95 @@ def _hash_encode_sg_bwd(res, g_out):
 hash_encode_sg.defvjp(_hash_encode_sg_fwd, _hash_encode_sg_bwd)
 
 
+# ---------------------------------------------------------------------------
+# MXU segment-sum backward: the table gradient as dense matmuls
+# ---------------------------------------------------------------------------
+#
+# XLA lowers scatter-add with duplicate indices to a serialized update loop
+# on TPU (~15M updates/s -> ~1s for the 16.7M-row hash gradient at 131k
+# points); sorting first is even slower (TPU sort). Instead, decompose each
+# table index as idx = hi * LO + lo and compute, per level,
+#   G[hi, lo*F + f] = sum_m onehot(hi_m)[hi] * (onehot(lo_m)[lo] * v[m, f])
+# i.e. one [M, HI]^T @ [M, LO*F] matmul per chunk of updates -- dense bf16
+# MXU work with f32 accumulation, no serialization. Total FLOPs are
+# 2*M*T*F per level; on a v5e this beats the scatter whenever the table is
+# large enough for scatter serialization to dominate.
+
+def _mxu_chunk_for(n_levels: int, hi: int, lo_f: int) -> int:
+    """Chunk size keeping the materialized per-step one-hot operands
+    (n_levels * chunk * max(hi, lo_f) bf16 entries) around <=128MB."""
+    budget = 128 * 1024 * 1024 // 2  # bf16 entries
+    c = max(512, budget // max(1, n_levels * max(hi, lo_f)))
+    return 1 << (c.bit_length() - 1)
+
+
+@jax.custom_vjp
+def hash_encode_mxu(tables: jax.Array, x01: jax.Array) -> jax.Array:
+    """hash_encode with the table gradient computed on the MXU (see above).
+
+    Positions are treated as stop-gradient, matching the renderer
+    (gaussian_model.py:91 detaches xyz before the tcnn encoder).
+    """
+    return hash_encode(tables, x01)
+
+
+def _hash_encode_mxu_fwd(tables, x01):
+    return hash_encode(tables, x01), (tables.shape, x01)
+
+
+def _hash_encode_mxu_bwd(res, g_out):
+    tables_shape, x01 = res
+    l, t, f = tables_shape
+    n = x01.shape[0]
+    idx, w = _encode_terms(tables_shape, x01)            # [N, L, 8]
+    local = (idx - jnp.arange(l, dtype=idx.dtype)[None, :, None] * t)
+    g = g_out.reshape(n, l, 1, f)
+    vals = (w[..., None] * g)                            # [N, L, 8, F]
+
+    lo_bits = (t - 1).bit_length() // 2
+    lo_n = 1 << lo_bits
+    hi_n = (t + lo_n - 1) // lo_n
+    hi = (local >> lo_bits).transpose(1, 0, 2).reshape(l, -1)   # [L, M]
+    lo = (local & (lo_n - 1)).transpose(1, 0, 2).reshape(l, -1)
+    v = vals.transpose(1, 0, 2, 3).reshape(l, -1, f)            # [L, M, F]
+
+    m = hi.shape[1]
+    chunk = _mxu_chunk_for(l, hi_n, lo_n * f)
+    # Pad M to a chunk multiple with hi index = hi_n (one-hot row of zeros).
+    pad = (-m) % chunk
+    if pad:
+        hi = jnp.pad(hi, ((0, 0), (0, pad)), constant_values=hi_n)
+        lo = jnp.pad(lo, ((0, 0), (0, pad)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+    steps = (m + pad) // chunk
+    hi = hi.reshape(l, steps, chunk).transpose(1, 0, 2)          # [S, L, C]
+    lo = lo.reshape(l, steps, chunk).transpose(1, 0, 2)
+    v = v.reshape(l, steps, chunk, f).transpose(1, 0, 2, 3)      # [S, L, C, F]
+
+    iota_hi = jnp.arange(hi_n, dtype=hi.dtype)
+    iota_lo = jnp.arange(lo_n, dtype=lo.dtype)
+
+    def body(acc, operands):
+        hi_c, lo_c, v_c = operands                               # [L, C], [L, C, F]
+        hi_oh = (hi_c[..., None] == iota_hi).astype(jnp.bfloat16)        # [L, C, HI]
+        lo_v = ((lo_c[..., None] == iota_lo)[..., None].astype(jnp.bfloat16)
+                * v_c[..., None, :].astype(jnp.bfloat16))                # [L, C, LO, F]
+        lo_v = lo_v.reshape(lo_v.shape[0], lo_v.shape[1], lo_n * f)
+        acc = acc + jnp.einsum(
+            "lch,lck->lhk", hi_oh, lo_v,
+            preferred_element_type=jnp.float32,
+        )
+        return acc, None
+
+    acc0 = jnp.zeros((l, hi_n, lo_n * f), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (hi, lo, v))
+    table_grad = acc.reshape(l, hi_n * lo_n, f)[:, :t, :]
+    return table_grad.astype(g_out.dtype), jnp.zeros_like(x01)
+
+
+hash_encode_mxu.defvjp(_hash_encode_mxu_fwd, _hash_encode_mxu_bwd)
+
+
 def style_embedding(params: ColorFieldParams, style_f: jax.Array) -> jax.Array:
     """Pooled VGG style feature [1, 512] -> normalized [1, style_dim]
     (renderer :91-96: Linear then L2-normalize)."""
@@ -214,7 +303,15 @@ def predict_sh(params: ColorFieldParams, xyz: jax.Array,
     """
     if precomputed_enc is None:
         x01 = contract_to_unisphere(jax.lax.stop_gradient(xyz))
-        enc = hash_encode(params.hash_tables, x01)
+        # Large tables take the MXU segment-sum backward: XLA's serialized
+        # scatter-add costs ~700ms fwd+bwd at 131k pts / 2^19 vs ~330ms for
+        # the dense-matmul gradient (scripts/bench_hashgrad.py, v5e). Small
+        # tables (tests, previews) keep the plain scatter — it compiles much
+        # faster and wins when T is small.
+        if params.hash_tables.shape[1] >= (1 << 16):
+            enc = hash_encode_mxu(params.hash_tables, x01)
+        else:
+            enc = hash_encode(params.hash_tables, x01)
     else:
         enc = precomputed_enc
     if params.style_w is not None:

@@ -189,41 +189,82 @@ def init_trainer(cfg: GSTrainConfig, points, colors, spatial_lr_scale: float,
                         jnp.zeros((), jnp.int32))
 
 
+def stack_cameras(cams: list) -> CameraArrays:
+    """Stack same-resolution CameraArrays into a view batch (leading dim B)
+    for a views_per_step>1 train step."""
+    assert len({(c.height, c.width) for c in cams}) == 1
+    return CameraArrays(
+        world_view=jnp.stack([c.world_view for c in cams]),
+        full_proj=jnp.stack([c.full_proj for c in cams]),
+        campos=jnp.stack([c.campos for c in cams]),
+        image=jnp.stack([c.image for c in cams]),
+        height=cams[0].height, width=cams[0].width,
+        tanfovx=jnp.asarray([c.tanfovx for c in cams], jnp.float32),
+        tanfovy=jnp.asarray([c.tanfovy for c in cams], jnp.float32),
+    )
+
+
 def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
-                    phase: str, height: int, width: int, use_rvq: bool = False):
+                    phase: str, height: int, width: int, use_rvq: bool = False,
+                    views_per_step: int = 1):
     """Build the jitted step for 'photometric' or 'style' phase at a fixed
     image resolution (one compiled program per resolution).
 
     Returns step(trainer, camera: CameraArrays, style_f, bg) ->
     (trainer, metrics).
+
+    ``views_per_step`` (TPU-first redesign; the reference is strictly one
+    view per iteration) renders a BATCH of views per optimizer step: the
+    per-Gaussian colorfield fwd+bwd — the dominant per-step cost at scale —
+    runs ONCE for the batch because every view queries the same positions,
+    so B views cost roughly one colorfield plus B rasterizations.
+    ``camera`` must then be a stacked batch (``stack_cameras``); the
+    gradient is the mean over views, densification stats accumulate each
+    view's full-magnitude gradient exactly as B reference iterations would.
+    On a device mesh, shard the camera batch's leading axis over ``dp`` and
+    XLA turns the mean into a psum (see parallel/gs.py).
     """
     opt_gaussian = make_gaussian_optimizer(cfg, spatial_lr_scale)
     opt_network = make_net_optimizer(cfg)
     mode = "train_rvq" if use_rvq else "train"
     settings = make_settings_from_dims(height, width, cfg)
+    n_views = views_per_step
 
-    def loss_fn(gparams, field, gstate, camera, style_f, bg, offs, rvq_s, rvq_r):
-        gstate = _with_gparams(gstate, gparams)
+    def view_loss(gstate, field, camera, style_f, bg, offs, rvq_s, rvq_r):
         out = render_from_arrays(camera, gstate, field, bg, style_f, mode,
                                  rvq_s, rvq_r, settings, offs)
         img = out.render
         gt = camera.image
+        ll1 = l1_loss(img, gt)
         if phase == "photometric":
-            ll1 = l1_loss(img, gt)
             loss = (
                 (1.0 - cfg.lambda_dssim) * ll1
                 + cfg.lambda_dssim * (1.0 - ssim(img[None], gt[None]))
                 + cfg.lambda_mask * jnp.mean(jax.nn.sigmoid(gstate.mask))
             )
         else:
-            ll1 = l1_loss(img, gt)  # gt here is the stylized guide
-            loss = ll1
-        return loss, (ll1, out.radii)
+            loss = ll1  # gt here is the stylized guide
+        return loss, ll1, out.radii
+
+    def loss_fn(gparams, field, gstate, camera, style_f, bg, offs, rvq_s, rvq_r):
+        gstate = _with_gparams(gstate, gparams)
+        if n_views == 1:
+            loss, ll1, radii = view_loss(gstate, field, camera, style_f, bg,
+                                         offs, rvq_s, rvq_r)
+            return loss, (ll1, radii)
+        cam_axes = CameraArrays(0, 0, 0, 0, None, None, 0, 0)
+        losses, ll1s, radii = jax.vmap(
+            view_loss, in_axes=(None, None, cam_axes, None, None, 0, None, None)
+        )(gstate, field, camera, style_f, bg, offs, rvq_s, rvq_r)
+        return jnp.mean(losses), (jnp.mean(ll1s), radii)
 
     @jax.jit
     def step(trainer: TrainerState, camera: CameraArrays, style_f, bg):
         gparams = _gparams(trainer.gstate)
-        offs = jnp.zeros((cfg.capacity, 2))
+        if n_views == 1:
+            offs = jnp.zeros((cfg.capacity, 2))
+        else:
+            offs = jnp.zeros((n_views, cfg.capacity, 2))
         (loss, (ll1, radii)), grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 6), has_aux=True)(
             gparams, trainer.field, trainer.gstate, camera, style_f, bg, offs,
             trainer.rvq_scale, trainer.rvq_rot,
@@ -236,8 +277,18 @@ def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
         field = optax.apply_updates(trainer.field, upd_n)
 
         gstate = _with_gparams(trainer.gstate, gparams)
-        gstate = G.add_densification_stats(gstate, g_offs, radii,
-                                           width=width, height=height)
+        if n_views == 1:
+            gstate = G.add_densification_stats(gstate, g_offs, radii,
+                                               width=width, height=height)
+        else:
+            # Per-view stats at full (un-averaged) magnitude, exactly as B
+            # sequential reference iterations would accumulate them.
+            def acc(gs, inp):
+                g, r = inp
+                return G.add_densification_stats(
+                    gs, g * n_views, r, width=width, height=height), None
+
+            gstate, _ = jax.lax.scan(acc, gstate, (g_offs, radii))
 
         new_trainer = trainer._replace(
             gstate=gstate, field=field, opt_g=opt_g, opt_net=opt_net,
