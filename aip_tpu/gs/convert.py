@@ -31,7 +31,8 @@ def convert_scene(
 ) -> str:
     """Run the COLMAP pipeline over ``source_path/input`` images."""
     colmap = colmap_executable or shutil.which("colmap")
-    if not colmap and not skip_matching:
+    if not colmap:
+        # Undistortion needs the binary even when matching is skipped.
         raise RuntimeError(
             "colmap binary not found; install COLMAP or pass colmap_executable"
         )
