@@ -39,8 +39,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from aip_tpu.ops.quaternion import covariance_from_scaling_rotation
-
 TILE = 16
 
 
@@ -64,6 +62,16 @@ class RasterSettings(NamedTuple):
     # pipeline) or 'pallas' (streamed custom-VJP kernels,
     # aip_tpu.ops.pallas.composite_ad).
     ad_backend: str = "xla"
+    # Macro-binning backend: 'pairsort' duplicates each Gaussian into the
+    # macro blocks its bounding rect overlaps (dup_span^2 static slots) and
+    # lexicographically sorts the (block, depth) pairs — one O(ND^2 log)
+    # sort instead of ceil(N/chunk) top_k merges; Gaussians whose rect
+    # exceeds dup_span blocks are exactly handled through a coarse
+    # super-grid merge with giant_capacity slots. 'merge' is the original
+    # chunked top_k merge.
+    select_backend: str = "pairsort"
+    dup_span: int = 3
+    giant_capacity: int = 128
 
 
 def project_gaussians(
@@ -88,47 +96,87 @@ def project_gaussians(
     fx = w / (2.0 * tanfovx)
     fy = h / (2.0 * tanfovy)
 
-    hom = jnp.concatenate([means3d, jnp.ones((n, 1), means3d.dtype)], axis=1)
-    p_view = hom @ viewmatrix  # [N, 4] row-vector transform
-    tz = p_view[:, 2]
+    # Row-vector transforms, expanded to [N]-vector ops (an [N,4]@[4,4]
+    # dot wastes the MXU: contraction dim 4 pads to a full lane tile).
+    m0, m1, m2 = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+
+    def xform(mat, j):
+        return m0 * mat[0, j] + m1 * mat[1, j] + m2 * mat[2, j] + mat[3, j]
+
+    pv0 = xform(viewmatrix, 0)
+    pv1 = xform(viewmatrix, 1)
+    tz = xform(viewmatrix, 2)
+    p_view = jnp.stack([pv0, pv1, tz], axis=1)  # [N, 3]
     in_frustum = tz > 0.2
 
     # Screen-space mean via the full projection.
-    p_hom = hom @ projmatrix
-    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
-    ndc = p_hom[:, :3] * p_w[:, None]
+    p_w = 1.0 / (xform(projmatrix, 3) + 1e-7)
+    ndc_x = xform(projmatrix, 0) * p_w
+    ndc_y = xform(projmatrix, 1) * p_w
     mean2d = jnp.stack(
-        [((ndc[:, 0] + 1.0) * w - 1.0) * 0.5, ((ndc[:, 1] + 1.0) * h - 1.0) * 0.5],
+        [((ndc_x + 1.0) * w - 1.0) * 0.5, ((ndc_y + 1.0) * h - 1.0) * 0.5],
         axis=1,
     )
 
     # EWA 2D covariance. Clamp view-space x/y as the CUDA kernel does.
-    cov3d = covariance_from_scaling_rotation(scales * scale_modifier, rotations)
+    # Fully scalar-expanded: batched [N,3,3] matmul chains lower to
+    # MXU-padded dots (contraction dim 3 -> 128 lanes wasted) and the
+    # .at[].add bias becomes a scatter; explicit per-entry formulas keep
+    # everything as [N]-vector VPU ops (~20x faster at N=100k).
     tzs = jnp.maximum(tz, 1e-6)
     limx = 1.3 * tanfovx
     limy = 1.3 * tanfovy
     txtz = jnp.clip(p_view[:, 0] / tzs, -limx, limx)
     tytz = jnp.clip(p_view[:, 1] / tzs, -limy, limy)
-    tx = txtz * tzs
-    ty = tytz * tzs
 
-    zeros = jnp.zeros_like(tz)
-    j = jnp.stack(
-        [
-            jnp.stack([fx / tzs, zeros, -fx * tx / (tzs * tzs)], axis=1),
-            jnp.stack([zeros, fy / tzs, -fy * ty / (tzs * tzs)], axis=1),
-        ],
-        axis=1,
-    )  # [N, 2, 3]
-    w3 = viewmatrix[:3, :3].T  # world->view rotation (column-vector form)
-    t = j @ w3  # [N, 2, 3]
-    cov2d = t @ cov3d @ jnp.swapaxes(t, 1, 2)  # [N, 2, 2]
-    cov2d = cov2d.at[:, 0, 0].add(0.3)
-    cov2d = cov2d.at[:, 1, 1].add(0.3)
+    # L = R diag(s): rows of the scaled rotation, from the quaternion.
+    q = rotations / jnp.linalg.norm(rotations, axis=-1, keepdims=True)
+    qr, qx, qy, qz = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    s0 = scales[:, 0] * scale_modifier
+    s1 = scales[:, 1] * scale_modifier
+    s2 = scales[:, 2] * scale_modifier
+    l00 = (1 - 2 * (qy * qy + qz * qz)) * s0
+    l01 = (2 * (qx * qy - qr * qz)) * s1
+    l02 = (2 * (qx * qz + qr * qy)) * s2
+    l10 = (2 * (qx * qy + qr * qz)) * s0
+    l11 = (1 - 2 * (qx * qx + qz * qz)) * s1
+    l12 = (2 * (qy * qz - qr * qx)) * s2
+    l20 = (2 * (qx * qz - qr * qy)) * s0
+    l21 = (2 * (qy * qz + qr * qx)) * s1
+    l22 = (1 - 2 * (qx * qx + qy * qy)) * s2
+    # Sigma = L L^T (symmetric, 6 unique entries).
+    s00 = l00 * l00 + l01 * l01 + l02 * l02
+    s01 = l00 * l10 + l01 * l11 + l02 * l12
+    s02 = l00 * l20 + l01 * l21 + l02 * l22
+    s11 = l10 * l10 + l11 * l11 + l12 * l12
+    s12 = l10 * l20 + l11 * l21 + l12 * l22
+    s22 = l20 * l20 + l21 * l21 + l22 * l22
 
-    a = cov2d[:, 0, 0]
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1]
+    # T = J @ W3 with J = [[fx/tz, 0, -fx tx/tz^2], [0, fy/tz, -fy ty/tz^2]]
+    # and W3 = viewmatrix[:3,:3].T (world->view rotation). J's sparsity
+    # collapses each T row to two terms.
+    j00 = fx / tzs
+    j02 = -fx * txtz / tzs  # == -fx * tx / tz^2
+    j11 = fy / tzs
+    j12 = -fy * tytz / tzs
+    w3 = viewmatrix[:3, :3]  # w3[j, i] == W3[i, j]
+    t00 = j00 * w3[0, 0] + j02 * w3[0, 2]
+    t01 = j00 * w3[1, 0] + j02 * w3[1, 2]
+    t02 = j00 * w3[2, 0] + j02 * w3[2, 2]
+    t10 = j11 * w3[0, 1] + j12 * w3[0, 2]
+    t11 = j11 * w3[1, 1] + j12 * w3[1, 2]
+    t12 = j11 * w3[2, 1] + j12 * w3[2, 2]
+
+    # cov2d = T Sigma T^T via u = Sigma T0, v_partial for the c entry.
+    u0 = s00 * t00 + s01 * t01 + s02 * t02
+    u1 = s01 * t00 + s11 * t01 + s12 * t02
+    u2 = s02 * t00 + s12 * t01 + s22 * t02
+    a = t00 * u0 + t01 * u1 + t02 * u2 + 0.3
+    b = t10 * u0 + t11 * u1 + t12 * u2
+    v0 = s00 * t10 + s01 * t11 + s02 * t12
+    v1 = s01 * t10 + s11 * t11 + s12 * t12
+    v2 = s02 * t10 + s12 * t11 + s22 * t12
+    c = t10 * v0 + t11 * v1 + t12 * v2 + 0.3
     det = a * c - b * b
     det_safe = jnp.where(det > 0, det, 1.0)
     conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], axis=1)
@@ -257,6 +305,144 @@ def composite_tiles(sel_idx, sel_depth, mean2d, conics, colors, opacities,
     return img[: settings.image_height, : settings.image_width]
 
 
+def select_macro_pairsort(mean2d, depths, radii, valid, mth, mtw,
+                          settings: RasterSettings):
+    """Macro-block candidate selection via duplicate-key sort.
+
+    The TPU analog of the CUDA rasterizer's duplicated (tile, depth) radix
+    sort (diff-gaussian-rasterization's binning): each Gaussian whose
+    bounding rect spans at most dup_span x dup_span macro blocks emits one
+    (block, depth, id) triple per overlapped block (static dup_span^2
+    slots, sentinel block for unused slots); one lexicographic
+    ``jax.lax.sort`` orders them by (block, depth); per-block segments are
+    located with searchsorted and gathered. Gaussians spanning more blocks
+    ("giants", rare) are exactly recovered through a coarse super-grid
+    chunk-merge whose grid is small enough that a clipped rect always fits,
+    then merged into each block's list by depth.
+
+    Returns (idx [mth*mtw, Kc], depth [mth*mtw, Kc]) sorted front-to-back;
+    empty slots are (-1, +inf). Exact: recall 1.0 vs the chunk merge.
+    """
+    m = settings.macro
+    bs = m * TILE
+    kc = settings.macro_capacity
+    d_span = settings.dup_span
+    n_blocks = mth * mtw
+    n = mean2d.shape[0]
+
+    # Pack (block, quantized depth) into one int32 key when it fits: one
+    # 2-operand (key, id) sort replaces the 3-operand (block, depth, id)
+    # lexicographic sort. Depth is quantized to the key's spare bits
+    # (>=16); Gaussians whose quantized depths collide within a block
+    # composite in arbitrary relative order — the same tie behavior the
+    # CUDA radix sort has for equal depth keys.
+    blk_bits = max(1, math.ceil(math.log2(n_blocks + 2)))
+    dq_bits = 31 - blk_bits
+    packed = dq_bits >= 16
+
+    mx, my = mean2d[:, 0], mean2d[:, 1]
+    x0 = jnp.floor((mx - radii) / bs).astype(jnp.int32)
+    x1 = jnp.floor((mx + radii) / bs).astype(jnp.int32)
+    y0 = jnp.floor((my - radii) / bs).astype(jnp.int32)
+    y1 = jnp.floor((my + radii) / bs).astype(jnp.int32)
+    alive = valid & (radii > 0)
+    normal = alive & (x1 - x0 < d_span) & (y1 - y0 < d_span)
+    giant = alive & ~normal
+
+    offs = jnp.arange(d_span, dtype=jnp.int32)
+    bxs = x0[:, None] + offs[None, :]  # [N, D]
+    bys = y0[:, None] + offs[None, :]
+    okx = (bxs >= 0) & (bxs < mtw) & (bxs <= x1[:, None])
+    oky = (bys >= 0) & (bys < mth) & (bys <= y1[:, None])
+    ok = oky[:, :, None] & okx[:, None, :] & normal[:, None, None]
+    blk = bys[:, :, None] * mtw + bxs[:, None, :]
+    blk = jnp.where(ok, blk, n_blocks)
+
+    gid = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None, None], ok.shape).reshape(-1)
+    if packed:
+        dmin = jnp.min(jnp.where(alive, depths, jnp.inf))
+        dmax = jnp.max(jnp.where(alive, depths, -jnp.inf))
+        # Scale to a touch under the bucket count and clip in INTEGER
+        # domain: (1<<dq_bits)-1 is not float32-representable and a float
+        # clip rounds up into the block bits.
+        dscale = ((1 << dq_bits) - 64) / jnp.maximum(dmax - dmin, 1e-12)
+        dq = jnp.maximum((depths - dmin) * dscale, 0.0).astype(jnp.int32)
+        dq = jnp.clip(dq, 0, (1 << dq_bits) - 1)
+        key = (blk << dq_bits) | jnp.where(ok, dq[:, None, None], 0)
+        key_s, gid_s = jax.lax.sort((key.reshape(-1), gid), num_keys=1)
+        blk_s = key_s >> dq_bits
+    else:
+        blk = blk.reshape(-1)
+        dep = jnp.broadcast_to(depths[:, None, None], ok.shape).reshape(-1)
+        blk_s, _, gid_s = jax.lax.sort((blk, dep, gid), num_keys=2)
+    starts = jnp.searchsorted(blk_s, jnp.arange(n_blocks, dtype=jnp.int32))
+    ends = jnp.searchsorted(blk_s, jnp.arange(1, n_blocks + 1,
+                                              dtype=jnp.int32))
+    slot = starts[:, None] + jnp.arange(kc, dtype=jnp.int32)[None, :]
+    in_seg = slot < ends[:, None]
+    slot = jnp.minimum(slot, gid_s.shape[0] - 1)
+    sel_i = jnp.where(in_seg, gid_s[slot], -1)
+    sel_d = jnp.where(in_seg, depths[jnp.maximum(sel_i, 0)], jnp.inf)
+
+    # ---- Giants: coarse super grid (clipped rects always fit) + merge.
+    kg = settings.giant_capacity
+    if kg > 0:
+        sb = max(1, math.ceil(max(mth, mtw) / 4))  # super grid <= 4x4 blocks
+        sth = math.ceil(mth / sb)
+        stw = math.ceil(mtw / sb)
+        # The super grid has O(16) rows, so a single merge pass (chunk = N)
+        # beats the chunked scan.
+        super_settings = RasterSettings(
+            image_height=sth * TILE, image_width=stw * TILE,
+            max_per_tile=kg, chunk=n,
+        )
+        scale = m * sb  # macro block px / TILE px, times super factor
+        sup_idx, _ = select_per_tile(
+            mean2d / scale, depths, radii / scale, giant, super_settings)
+
+        rows = jnp.arange(n_blocks) // mtw
+        cols = jnp.arange(n_blocks) % mtw
+        sup_of_block = (rows // sb) * stw + (cols // sb)
+        cand = sup_idx[sup_of_block]  # [n_blocks, kg]
+        cvalid = cand >= 0
+        safe = jnp.maximum(cand, 0)
+        cmx = mx[safe]
+        cmy = my[safe]
+        cr = radii[safe]
+        bx0 = (cols * bs).astype(mean2d.dtype)[:, None]
+        by0 = (rows * bs).astype(mean2d.dtype)[:, None]
+        hit = (
+            (cmx + cr >= bx0) & (cmx - cr < bx0 + bs)
+            & (cmy + cr >= by0) & (cmy - cr < by0 + bs)
+            & cvalid
+        )
+        gd = jnp.where(hit, depths[safe], jnp.inf)
+
+        all_d = jnp.concatenate([sel_d, gd], axis=1)
+        all_i = jnp.concatenate([sel_i, jnp.where(hit, cand, -1)], axis=1)
+        neg_top, posk = jax.lax.top_k(-all_d, kc)
+        sel_d = -neg_top
+        sel_i = jnp.take_along_axis(all_i, posk, axis=1)
+        sel_i = jnp.where(jnp.isinf(sel_d), -1, sel_i)
+    return sel_i, sel_d
+
+
+def _macro_select(mean2d, depths, radii, valid, settings: RasterSettings,
+                  mth, mtw):
+    """Dispatch macro-block binning to the configured backend."""
+    if settings.select_backend == "pairsort":
+        return select_macro_pairsort(mean2d, depths, radii, valid, mth, mtw,
+                                     settings)
+    m = settings.macro
+    macro_settings = RasterSettings(
+        image_height=mth * TILE, image_width=mtw * TILE,
+        max_per_tile=settings.macro_capacity, chunk=settings.chunk,
+    )
+    return select_per_tile(mean2d / m, depths, radii / m, valid,
+                           macro_settings)
+
+
 def select_per_tile_hierarchical(mean2d, depths, radii, valid,
                                  settings: RasterSettings):
     """Two-level candidate selection.
@@ -274,19 +460,11 @@ def select_per_tile_hierarchical(mean2d, depths, radii, valid,
     m = settings.macro
     kc = settings.macro_capacity
 
-    # ---- Phase 1: macro binning via the existing chunk-merge machinery.
+    # ---- Phase 1: macro binning (pairsort by default, chunk-merge option).
     mth = math.ceil(th / m)
     mtw = math.ceil(tw / m)
-    # Reuse select_per_tile with a virtual tile size of m*TILE by scaling
-    # coordinates down by m; the macro grid is mth x mtw TILE-sized tiles in
-    # that scaled space.
-    macro_settings = RasterSettings(
-        image_height=mth * TILE, image_width=mtw * TILE,
-        max_per_tile=kc, chunk=settings.chunk,
-    )
-    macro_idx, _ = select_per_tile(
-        mean2d / m, depths, radii / m, valid, macro_settings
-    )  # [mth*mtw, kc]
+    macro_idx, _ = _macro_select(mean2d, depths, radii, valid, settings,
+                                 mth, mtw)  # [mth*mtw, kc]
 
     # ---- Phase 2: per fine tile, filter its macro's candidates.
     n_tiles = th * tw
@@ -499,12 +677,8 @@ def rasterize_matmul(
     m = settings.macro
     mth = math.ceil(th / m)
     mtw = math.ceil(tw / m)
-    macro_settings = RasterSettings(
-        image_height=mth * TILE, image_width=mtw * TILE,
-        max_per_tile=settings.macro_capacity, chunk=settings.chunk,
-    )
-    macro_idx, _ = select_per_tile(mean2d / m, depths, radii / m, valid,
-                                   macro_settings)
+    macro_idx, _ = _macro_select(mean2d, depths, radii, valid, settings,
+                                 mth, mtw)
     img = _composite_macro_matmul(macro_idx, mean2d, conics, colors,
                                   jnp.asarray(opacities, jnp.float32),
                                   jnp.asarray(bg_color, jnp.float32),
@@ -543,12 +717,8 @@ def rasterize_fused(
     m = settings.macro
     mth = math.ceil(th / m)
     mtw = math.ceil(tw / m)
-    macro_settings = RasterSettings(
-        image_height=mth * TILE, image_width=mtw * TILE,
-        max_per_tile=settings.macro_capacity, chunk=settings.chunk,
-    )
-    macro_idx, _ = select_per_tile(mean2d / m, depths, radii / m, valid,
-                                   macro_settings)
+    macro_idx, _ = _macro_select(mean2d, depths, radii, valid, settings,
+                                 mth, mtw)
     mvalid = macro_idx >= 0
     safe = jnp.maximum(macro_idx, 0)
     tiles = composite_from_macro_pallas(

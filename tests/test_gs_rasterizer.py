@@ -321,3 +321,41 @@ def test_pallas_ad_backend_matches_xla(rng):
             assert float(jnp.abs(a - b).max()) / scale < 1e-4
     finally:
         mod.composite_tiles_ad = mod_fn
+
+
+def test_pairsort_selection_matches_merge(rng):
+    """Pair-sort macro binning == chunk-merge binning (exact sets, sorted
+    depths), on a scene mixing small splats with giants spanning many macro
+    blocks (exercises the super-grid fallback)."""
+    import math
+
+    from aip_tpu.gs.rasterizer import _macro_select, _tile_grid
+
+    cam = _camera(w=128, h=96)
+    n = 60
+    means = (rng.random((n, 3)) * 2 - 1).astype(np.float32)
+    scales = (rng.random((n, 3)) * 0.1 + 0.02).astype(np.float32)
+    scales[:6] = rng.random((6, 3)) * 1.5 + 0.5  # giants
+    quats = rng.standard_normal((n, 4)).astype(np.float32)
+
+    s = RasterSettings(96, 128, max_per_tile=32, chunk=32,
+                       macro=2, macro_capacity=80, dup_span=2,
+                       giant_capacity=32)
+    tx, ty = _tanfov(cam)
+    m2d, depth, conic, radius, valid = project_gaussians(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(cam.world_view_transform),
+        jnp.asarray(cam.full_proj_transform), tx, ty, s)
+    th, tw = _tile_grid(s)
+    mth, mtw = math.ceil(th / s.macro), math.ceil(tw / s.macro)
+
+    pi, pd = _macro_select(m2d, depth, radius, valid, s, mth, mtw)
+    mi, md = _macro_select(m2d, depth, radius, valid,
+                           s._replace(select_backend="merge"), mth, mtw)
+    pi, pd, mi, md = map(np.asarray, (pi, pd, mi, md))
+    for b in range(mth * mtw):
+        assert set(pi[b][pi[b] >= 0]) == set(mi[b][mi[b] >= 0])
+        np.testing.assert_allclose(np.sort(pd[b]), np.sort(md[b]))
+        # front-to-back order within the (finite) list
+        fin = pd[b][np.isfinite(pd[b])]
+        assert np.all(np.diff(fin) >= 0)
