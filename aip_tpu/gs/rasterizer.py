@@ -72,6 +72,13 @@ class RasterSettings(NamedTuple):
     select_backend: str = "pairsort"
     dup_span: int = 3
     giant_capacity: int = 128
+    # Macro-block composite backend for rasterize_matmul: 'matmul' (dense
+    # XLA quadratic-basis MXU pipeline), 'pallas' (candidate walk with
+    # group-level saturation early-exit), or 'mxu' (dense-group Pallas
+    # kernel: power / prefix-transmittance / color accumulation as MXU
+    # matmuls, count-bounded with early exit — fastest at high
+    # resolution; ops/pallas/composite.py).
+    composite_backend: str = "matmul"
 
 
 def project_gaussians(
@@ -317,8 +324,9 @@ def select_macro_pairsort(mean2d, depths, radii, valid, mth, mtw,
     ``jax.lax.sort`` orders them by (block, depth); per-block segments are
     located with searchsorted and gathered. Gaussians spanning more blocks
     ("giants", rare) are exactly recovered through a coarse super-grid
-    chunk-merge whose grid is small enough that a clipped rect always fits,
-    then merged into each block's list by depth.
+    merge whose grid is small enough that a clipped rect always fits; the
+    resulting (block, giant) hits are emitted as extra pairs into the SAME
+    sort, so no separate per-block merge pass is needed.
 
     Returns (idx [mth*mtw, Kc], depth [mth*mtw, Kc]) sorted front-to-back;
     empty slots are (-1, +inf). Exact: recall 1.0 vs the chunk merge.
@@ -360,6 +368,9 @@ def select_macro_pairsort(mean2d, depths, radii, valid, mth, mtw,
 
     gid = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None, None], ok.shape).reshape(-1)
+    blk = blk.reshape(-1)
+    ok_flat = ok.reshape(-1)
+
     if packed:
         dmin = jnp.min(jnp.where(alive, depths, jnp.inf))
         dmax = jnp.max(jnp.where(alive, depths, -jnp.inf))
@@ -369,23 +380,11 @@ def select_macro_pairsort(mean2d, depths, radii, valid, mth, mtw,
         dscale = ((1 << dq_bits) - 64) / jnp.maximum(dmax - dmin, 1e-12)
         dq = jnp.maximum((depths - dmin) * dscale, 0.0).astype(jnp.int32)
         dq = jnp.clip(dq, 0, (1 << dq_bits) - 1)
-        key = (blk << dq_bits) | jnp.where(ok, dq[:, None, None], 0)
-        key_s, gid_s = jax.lax.sort((key.reshape(-1), gid), num_keys=1)
-        blk_s = key_s >> dq_bits
-    else:
-        blk = blk.reshape(-1)
-        dep = jnp.broadcast_to(depths[:, None, None], ok.shape).reshape(-1)
-        blk_s, _, gid_s = jax.lax.sort((blk, dep, gid), num_keys=2)
-    starts = jnp.searchsorted(blk_s, jnp.arange(n_blocks, dtype=jnp.int32))
-    ends = jnp.searchsorted(blk_s, jnp.arange(1, n_blocks + 1,
-                                              dtype=jnp.int32))
-    slot = starts[:, None] + jnp.arange(kc, dtype=jnp.int32)[None, :]
-    in_seg = slot < ends[:, None]
-    slot = jnp.minimum(slot, gid_s.shape[0] - 1)
-    sel_i = jnp.where(in_seg, gid_s[slot], -1)
-    sel_d = jnp.where(in_seg, depths[jnp.maximum(sel_i, 0)], jnp.inf)
+        # Broadcast (not gather) the quantized depth into the normal pairs.
+        dqv = jnp.where(ok, dq[:, None, None], 0).reshape(-1)
 
-    # ---- Giants: coarse super grid (clipped rects always fit) + merge.
+    # ---- Giants: coarse super grid (clipped rects always fit) -> extra
+    # (block, giant) pairs appended to the same sort.
     kg = settings.giant_capacity
     if kg > 0:
         sb = max(1, math.ceil(max(mth, mtw) / 4))  # super grid <= 4x4 blocks
@@ -405,7 +404,6 @@ def select_macro_pairsort(mean2d, depths, radii, valid, mth, mtw,
         cols = jnp.arange(n_blocks) % mtw
         sup_of_block = (rows // sb) * stw + (cols // sb)
         cand = sup_idx[sup_of_block]  # [n_blocks, kg]
-        cvalid = cand >= 0
         safe = jnp.maximum(cand, 0)
         cmx = mx[safe]
         cmy = my[safe]
@@ -415,16 +413,31 @@ def select_macro_pairsort(mean2d, depths, radii, valid, mth, mtw,
         hit = (
             (cmx + cr >= bx0) & (cmx - cr < bx0 + bs)
             & (cmy + cr >= by0) & (cmy - cr < by0 + bs)
-            & cvalid
+            & (cand >= 0)
         )
-        gd = jnp.where(hit, depths[safe], jnp.inf)
+        gblk = jnp.where(hit, jnp.arange(n_blocks, dtype=jnp.int32)[:, None],
+                         n_blocks).reshape(-1)
+        blk = jnp.concatenate([blk, gblk])
+        gid = jnp.concatenate([gid, safe.astype(jnp.int32).reshape(-1)])
+        ok_flat = jnp.concatenate([ok_flat, hit.reshape(-1)])
+        if packed:
+            dqv = jnp.concatenate(
+                [dqv, jnp.where(hit, dq[safe], 0).reshape(-1)])
 
-        all_d = jnp.concatenate([sel_d, gd], axis=1)
-        all_i = jnp.concatenate([sel_i, jnp.where(hit, cand, -1)], axis=1)
-        neg_top, posk = jax.lax.top_k(-all_d, kc)
-        sel_d = -neg_top
-        sel_i = jnp.take_along_axis(all_i, posk, axis=1)
-        sel_i = jnp.where(jnp.isinf(sel_d), -1, sel_i)
+    if packed:
+        key = (blk << dq_bits) | dqv
+        key_s, gid_s = jax.lax.sort((key, gid), num_keys=1)
+        blk_s = key_s >> dq_bits
+    else:
+        blk_s, _, gid_s = jax.lax.sort((blk, depths[gid], gid), num_keys=2)
+    starts = jnp.searchsorted(blk_s, jnp.arange(n_blocks, dtype=jnp.int32))
+    ends = jnp.searchsorted(blk_s, jnp.arange(1, n_blocks + 1,
+                                              dtype=jnp.int32))
+    slot = starts[:, None] + jnp.arange(kc, dtype=jnp.int32)[None, :]
+    in_seg = slot < ends[:, None]
+    slot = jnp.minimum(slot, gid_s.shape[0] - 1)
+    sel_i = jnp.where(in_seg, gid_s[slot], -1)
+    sel_d = jnp.where(in_seg, depths[jnp.maximum(sel_i, 0)], jnp.inf)
     return sel_i, sel_d
 
 
@@ -651,6 +664,77 @@ def _composite_macro_matmul(macro_idx, mean2d, conics, colors, opacities,
     return img
 
 
+def _macro_coeffs(macro_idx, mean2d, conics, colors, opacities, n_blocks,
+                  mtw, bs):
+    """Per-candidate quadratic-log-density coefficients in block-LOCAL
+    pixel coordinates (fp32 conditioning), plus gathered colors and the
+    per-block valid count. Shared by the matmul and Pallas composites."""
+    valid = macro_idx >= 0
+    safe = jnp.maximum(macro_idx, 0)
+    gm = mean2d[safe]
+    gc = conics[safe]
+    gcol = colors[safe]
+    gop = jnp.where(valid, opacities[safe], 0.0)
+
+    bx0 = ((jnp.arange(n_blocks) % mtw) * bs).astype(jnp.float32)
+    by0 = ((jnp.arange(n_blocks) // mtw) * bs).astype(jnp.float32)
+    mx = gm[..., 0] - bx0[:, None]
+    my = gm[..., 1] - by0[:, None]
+    ca, cb, cc = gc[..., 0], gc[..., 1], gc[..., 2]
+    coeff = jnp.stack([
+        -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my,
+        ca * mx + cb * my,
+        cc * my + cb * mx,
+        -0.5 * ca,
+        -0.5 * cc,
+        -cb,
+    ], axis=-1)  # [M, Kc, 6]
+    counts = jnp.sum(valid, axis=1).astype(jnp.int32)
+    return coeff, gcol, gop, counts, my
+
+
+def _composite_macro_pallas(macro_idx, mean2d, conics, colors, opacities,
+                            bg_color, m, mth, mtw, interpret=False):
+    """Macro-block compositing through the Pallas candidate-walk kernel."""
+    from aip_tpu.ops.pallas.composite import composite_macro_blocks_pallas
+
+    bs = m * TILE
+    n_blocks = mth * mtw
+    coeff, gcol, gop, counts, _my = _macro_coeffs(
+        macro_idx, mean2d, conics, colors, opacities, n_blocks, mtw, bs)
+    coeff8 = jnp.concatenate(
+        [coeff, gop[..., None], jnp.zeros_like(gop[..., None])], axis=-1)
+    col4 = jnp.concatenate([gcol, jnp.zeros_like(gcol[..., :1])], axis=-1)
+    planes = composite_macro_blocks_pallas(
+        coeff8, col4, counts, bg_color, bs=bs, interpret=interpret)
+    img = planes.reshape(mth, mtw, 3, bs, bs).transpose(0, 3, 1, 4, 2)
+    return img.reshape(mth * bs, mtw * bs, 3)
+
+
+def _composite_macro_mxu(macro_idx, mean2d, conics, colors, opacities,
+                         bg_color, m, mth, mtw, interpret=False):
+    """Macro-block compositing through the dense-group MXU kernel
+    (ops/pallas/composite.py composite_macro_mxu_pallas). log(opacity) is
+    folded into the constant polynomial coefficient so alpha becomes
+    exp(min(power', 0)) with no per-candidate scalars in the kernel."""
+    from aip_tpu.ops.pallas.composite import composite_macro_mxu_pallas
+
+    bs = m * TILE
+    n_blocks = mth * mtw
+    coeff, gcol, gop, counts, _my = _macro_coeffs(
+        macro_idx, mean2d, conics, colors, opacities, n_blocks, mtw, bs)
+    logop = jnp.log(jnp.maximum(gop, 1e-30))
+    coeff8 = jnp.concatenate(
+        [(coeff[..., 0] + logop)[..., None], coeff[..., 1:6],
+         jnp.zeros_like(logop)[..., None], jnp.zeros_like(logop)[..., None]],
+        axis=-1)
+    col4 = jnp.concatenate([gcol, jnp.zeros_like(gcol[..., :1])], axis=-1)
+    planes = composite_macro_mxu_pallas(
+        coeff8, col4, counts, bg_color, bs=bs, interpret=interpret)
+    img = planes.reshape(mth, mtw, 3, bs, bs).transpose(0, 3, 1, 4, 2)
+    return img.reshape(mth * bs, mtw * bs, 3)
+
+
 @functools.partial(jax.jit, static_argnames=("settings",))
 def rasterize_matmul(
     means3d: jax.Array,
@@ -679,10 +763,21 @@ def rasterize_matmul(
     mtw = math.ceil(tw / m)
     macro_idx, _ = _macro_select(mean2d, depths, radii, valid, settings,
                                  mth, mtw)
-    img = _composite_macro_matmul(macro_idx, mean2d, conics, colors,
-                                  jnp.asarray(opacities, jnp.float32),
-                                  jnp.asarray(bg_color, jnp.float32),
-                                  th, tw, m, mtw)
+    if settings.composite_backend == "mxu":
+        img = _composite_macro_mxu(macro_idx, mean2d, conics, colors,
+                                   jnp.asarray(opacities, jnp.float32),
+                                   jnp.asarray(bg_color, jnp.float32),
+                                   m, mth, mtw)
+    elif settings.composite_backend == "pallas":
+        img = _composite_macro_pallas(macro_idx, mean2d, conics, colors,
+                                      jnp.asarray(opacities, jnp.float32),
+                                      jnp.asarray(bg_color, jnp.float32),
+                                      m, mth, mtw)
+    else:
+        img = _composite_macro_matmul(macro_idx, mean2d, conics, colors,
+                                      jnp.asarray(opacities, jnp.float32),
+                                      jnp.asarray(bg_color, jnp.float32),
+                                      th, tw, m, mtw)
     return img[: settings.image_height, : settings.image_width], radii
 
 

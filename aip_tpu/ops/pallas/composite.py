@@ -166,3 +166,213 @@ def composite_tiles_pallas(
         slot_valid.astype(jnp.float32)[:, :, None],
         bg,
     )
+
+
+def _make_block_kernel(bs: int, group: int):
+    """Kernel for one (bs x bs)-pixel macro block: walk the block's
+    candidates front-to-back on a [bs*bs/128, 128] full-lane pixel layout,
+    with group-level early exit once every pixel's transmittance is below
+    the 1e-4 CUDA cutoff (and never past the block's valid-candidate
+    count). coeff packs the quadratic log-density polynomial
+    [c0, cx, cy, cxx, cyy, cxy, opacity, 0]."""
+    rows = (bs * bs) // 128
+
+    def kernel(coeff_ref, color_ref, count_ref, bg_ref, out_ref):
+        kc = coeff_ref.shape[0]
+        count = count_ref[pl.program_id(0)]
+        r = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        flat = r * 128 + c
+        px = (flat % bs).astype(jnp.float32)
+        py = (flat // bs).astype(jnp.float32)
+        bxx = px * px
+        byy = py * py
+        bxy = px * py
+
+        def walk(i, carry):
+            trans, red, grn, blu = carry
+            power = (coeff_ref[i, 0]
+                     + coeff_ref[i, 1] * px + coeff_ref[i, 2] * py
+                     + coeff_ref[i, 3] * bxx + coeff_ref[i, 4] * byy
+                     + coeff_ref[i, 5] * bxy)
+            alpha = jnp.minimum(
+                0.99, coeff_ref[i, 6] * jnp.exp(jnp.minimum(power, 0.0)))
+            alpha = jnp.where(alpha < (1.0 / 255.0), 0.0, alpha)
+            contrib = jnp.where(trans > 1e-4, alpha * trans, 0.0)
+            red = red + contrib * color_ref[i, 0]
+            grn = grn + contrib * color_ref[i, 1]
+            blu = blu + contrib * color_ref[i, 2]
+            return trans * (1.0 - alpha), red, grn, blu
+
+        def group_fn(g, carry):
+            trans = carry[0]
+            live = (g * group < count) & (jnp.max(trans) > 1e-4)
+            return jax.lax.cond(
+                live,
+                lambda cy: jax.lax.fori_loop(
+                    g * group, jnp.minimum((g + 1) * group, count),
+                    walk, cy),
+                lambda cy: cy,
+                carry,
+            )
+
+        zeros = jnp.zeros((rows, 128), jnp.float32)
+        init = (jnp.ones((rows, 128), jnp.float32), zeros, zeros, zeros)
+        trans, red, grn, blu = jax.lax.fori_loop(
+            0, (kc + group - 1) // group, group_fn, init)
+        out_ref[0] = red + trans * bg_ref[0, 0]
+        out_ref[1] = grn + trans * bg_ref[0, 1]
+        out_ref[2] = blu + trans * bg_ref[0, 2]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("bs", "group", "interpret"))
+def composite_macro_blocks_pallas(
+    coeff: jax.Array,      # [M, Kc, 8] quadratic coeffs + opacity (slot 6)
+    colors: jax.Array,     # [M, Kc, 4] rgb + pad
+    counts: jax.Array,     # [M] valid candidates per block (prefix of list)
+    bg_color: jax.Array,   # [3]
+    bs: int,
+    group: int = 32,
+    interpret: bool = False,
+) -> jax.Array:
+    """Composite whole macro blocks (bs x bs px) from depth-sorted
+    candidate lists. Returns [M, 3, bs*bs/128, 128] pixel planes in
+    row-major flat order (pixel (y, x) at flat index y*bs + x)."""
+    m, kc, _ = coeff.shape
+    rows = (bs * bs) // 128
+    bg = jnp.broadcast_to(bg_color.astype(jnp.float32)[None, :], (1, 3))
+
+    return pl.pallas_call(
+        _make_block_kernel(bs, group),
+        grid=(m,),
+        in_specs=[
+            pl.BlockSpec((None, kc, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, kc, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full counts array
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((None, 3, rows, 128), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, 3, rows, 128), jnp.float32),
+        interpret=interpret,
+    )(
+        coeff.astype(jnp.float32),
+        colors.astype(jnp.float32),
+        counts.astype(jnp.int32),
+        bg,
+    )
+
+
+def _make_mxu_kernel(kc: int, p: int, group: int):
+    """Dense-group MXU composite for one macro block.
+
+    Per group of ``group`` depth-ordered candidates, everything heavy is a
+    matmul: the Gaussian log-density (a quadratic in pixel coordinates) is
+    ``coeff @ basis`` on the MXU; the exclusive prefix transmittance is a
+    strict-lower-triangular matmul over per-candidate log(1-alpha)
+    (prefix-scan-as-matmul — no sequential per-candidate chain); the color
+    accumulation is a third matmul. log(opacity) is folded into the
+    constant coefficient so the walk needs no per-candidate scalar loads.
+    The group loop is bounded by the block's valid-candidate count and
+    exits early once every pixel is past the 1e-4 transmittance cutoff,
+    so work tracks actual demand, not the padded capacity."""
+
+    def kernel(coeff_ref, color_ref, count_ref, basis_ref, tri_ref, bg_ref,
+               out_ref, tcar_ref, acc_ref):
+        count = count_ref[pl.program_id(0)]
+        tcar_ref[...] = jnp.ones((1, p), jnp.float32)
+        acc_ref[...] = jnp.zeros((4, p), jnp.float32)
+
+        def group_fn(g, carry):
+            live = (g * group < count) & (jnp.max(tcar_ref[...]) > 1e-4)
+
+            @pl.when(live)
+            def _():
+                cf = coeff_ref[pl.ds(g * group, group), :]
+                cl = color_ref[pl.ds(g * group, group), :]
+                pw = jax.lax.dot_general(
+                    cf, basis_ref[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                alpha = jnp.minimum(0.99, jnp.exp(jnp.minimum(pw, 0.0)))
+                alpha = jnp.where(alpha < (1.0 / 255.0), 0.0, alpha)
+                logt = jnp.log1p(-alpha)
+                pref = jax.lax.dot_general(
+                    tri_ref[...], logt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                trans = jnp.exp(pref) * tcar_ref[...]
+                contrib = jnp.where(trans > 1e-4, alpha * trans, 0.0)
+                acc_ref[...] += jax.lax.dot_general(
+                    cl, contrib, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                tcar_ref[...] = (trans[group - 1:group, :]
+                                 * (1.0 - alpha[group - 1:group, :]))
+            return carry
+
+        jax.lax.fori_loop(0, (kc + group - 1) // group, group_fn, 0)
+        tc = tcar_ref[...]
+        out_ref[0] = acc_ref[0:1, :] + tc * bg_ref[0, 0]
+        out_ref[1] = acc_ref[1:2, :] + tc * bg_ref[0, 1]
+        out_ref[2] = acc_ref[2:3, :] + tc * bg_ref[0, 2]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("bs", "group", "interpret"))
+def composite_macro_mxu_pallas(
+    coeff: jax.Array,      # [M, Kc, 8] c0 (+log opacity), c1..c5, 0, 0
+    colors: jax.Array,     # [M, Kc, 4] rgb + pad
+    counts: jax.Array,     # [M] valid candidates per block (list prefix)
+    bg_color: jax.Array,   # [3]
+    bs: int,
+    group: int = 64,
+    interpret: bool = False,
+) -> jax.Array:
+    """Dense-group MXU macro-block composite. Returns [M, 3, 1, bs*bs]
+    flat pixel planes (pixel (y, x) of block m at [m, c, 0, y*bs + x])."""
+    import numpy as np
+
+    m, kc, _ = coeff.shape
+    p = bs * bs
+    bg = jnp.broadcast_to(bg_color.astype(jnp.float32)[None, :], (1, 3))
+
+    yy = np.arange(bs, dtype=np.float32)
+    py, px = np.meshgrid(yy, yy, indexing="ij")
+    px = px.reshape(-1)
+    py = py.reshape(-1)
+    basis = jnp.asarray(np.stack([
+        np.ones_like(px), px, py, px * px, py * py, px * py,
+        np.zeros_like(px), np.zeros_like(px)]).astype(np.float32))
+    tri = jnp.asarray(np.tril(np.ones((group, group), np.float32), -1))
+
+    return pl.pallas_call(
+        _make_mxu_kernel(kc, p, group),
+        grid=(m,),
+        in_specs=[
+            pl.BlockSpec((None, kc, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, kc, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, p), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, group), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((None, 3, 1, p), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, 3, 1, p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, p), jnp.float32),
+            pltpu.VMEM((4, p), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        coeff.astype(jnp.float32),
+        colors.astype(jnp.float32),
+        counts.astype(jnp.int32),
+        basis,
+        tri,
+        bg,
+    )

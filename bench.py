@@ -59,11 +59,42 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     images_per_s = batch * chain / best
+
+    # MFU: analytic FLOPs for the compiled stylize graph (XLA cost
+    # analysis; falls back to a hand-derived VGG+decoder conv count) over
+    # the v5e bf16 peak (197 TFLOP/s).
+    peak_flops = 197e12
+    flops = None
+    try:
+        cost = jax.jit(fn).lower(content).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        flops = None
+    if not flops:
+        # Conv MACs for encoder (3->relu4_1) + decoder mirror at 512px.
+        enc = [(3, 3, 1), (3, 64, 1), (64, 64, 1), (64, 128, 2),
+               (128, 128, 2), (128, 256, 4), (256, 256, 4), (256, 256, 4),
+               (256, 256, 4), (256, 512, 8)]
+        dec = [(512, 256, 8), (256, 256, 4), (256, 256, 4), (256, 256, 4),
+               (256, 128, 4), (128, 128, 2), (128, 64, 2), (64, 64, 1),
+               (64, 3, 1)]
+        flops = 0.0
+        for ci, co, stride in enc + dec:
+            k = 1 if (ci, co) == (3, 3) else 3
+            hw = (size // stride) ** 2
+            flops += 2.0 * hw * k * k * ci * co
+        flops *= batch
+    mfu = (flops * chain / best) / peak_flops
+
     print(json.dumps({
         "metric": "adain_512px_throughput",
         "value": round(images_per_s, 2),
         "unit": "images/s/chip",
         "vs_baseline": round(images_per_s / 200.0, 3),
+        "mfu": round(mfu, 4),
+        "flops_per_image": round(flops / batch / 1e9, 2),
     }))
 
 

@@ -359,3 +359,44 @@ def test_pairsort_selection_matches_merge(rng):
         # front-to-back order within the (finite) list
         fin = pd[b][np.isfinite(pd[b])]
         assert np.all(np.diff(fin) >= 0)
+
+
+def test_mxu_composite_matches_matmul(rng):
+    """Dense-group MXU kernel (interpret) == XLA matmul composite on a
+    scene with giants (exercises giant pairs folded into the sort)."""
+    import math
+
+    from aip_tpu.gs.rasterizer import (_composite_macro_mxu, _macro_select,
+                                       _tile_grid, rasterize_matmul)
+
+    cam = _camera(w=128, h=96)
+    n = 80
+    means = (rng.random((n, 3)) * 2 - 1).astype(np.float32)
+    scales = (rng.random((n, 3)) * 0.1 + 0.02).astype(np.float32)
+    scales[:5] = rng.random((5, 3)) * 1.2 + 0.4  # giants
+    quats = rng.standard_normal((n, 4)).astype(np.float32)
+    opac = (rng.random(n) * 0.8 + 0.1).astype(np.float32)
+    colors = rng.random((n, 3)).astype(np.float32)
+    vm = jnp.asarray(cam.world_view_transform)
+    pm = jnp.asarray(cam.full_proj_transform)
+    tx, ty = _tanfov(cam)
+    bg = jnp.asarray([0.2, 0.1, 0.3])
+
+    s = RasterSettings(96, 128, max_per_tile=64, chunk=32, macro=2,
+                       macro_capacity=128, dup_span=3, giant_capacity=32)
+    ref, _ = rasterize_matmul(jnp.asarray(means), jnp.asarray(scales),
+                              jnp.asarray(quats), jnp.asarray(opac),
+                              jnp.asarray(colors), vm, pm, bg, s,
+                              tanfovx=tx, tanfovy=ty)
+
+    m2d, depth, conic, radius, valid = project_gaussians(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        vm, pm, tx, ty, s)
+    th, tw = _tile_grid(s)
+    mth, mtw = math.ceil(th / s.macro), math.ceil(tw / s.macro)
+    mi, _ = _macro_select(m2d, depth, radius, valid, s, mth, mtw)
+    img = _composite_macro_mxu(mi, m2d, conic, jnp.asarray(colors),
+                               jnp.asarray(opac), bg, s.macro, mth, mtw,
+                               interpret=True)
+    img = img[:96, :128]
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=2e-4)
