@@ -239,6 +239,15 @@ def _hash_encode_mxu_bwd(res, g_out):
     lo = (local & (lo_n - 1)).transpose(1, 0, 2).reshape(l, -1)
     v = vals.transpose(1, 0, 2, 3).reshape(l, -1, f)            # [L, M, F]
 
+    if jax.default_backend() != "cpu":
+        # Fused Pallas path: one-hots built in VMEM, no HBM materialization
+        # of the [C, HI]/[C, LO*F] operands (halves the backward time).
+        from aip_tpu.ops.pallas.hashgrad import hash_grad_pallas
+
+        acc = hash_grad_pallas(hi, lo, v, hi_n, lo_n)
+        table_grad = acc.reshape(l, hi_n * lo_n, f)[:, :t, :]
+        return table_grad.astype(g_out.dtype), jnp.zeros_like(x01)
+
     m = hi.shape[1]
     chunk = _mxu_chunk_for(l, hi_n, lo_n * f)
     # Pad M to a chunk multiple with hi index = hi_n (one-hot row of zeros).

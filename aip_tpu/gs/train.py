@@ -71,9 +71,10 @@ class GSTrainConfig:
     capacity: int = 1 << 17
     max_per_tile: int = 128
     raster_chunk: int = 4096
-    # Hierarchical selection kicks in automatically for images larger than
-    # this (selection cost grows with tile count; see BENCHMARKS.md).
-    macro_above_pixels: int = 512 * 512
+    # Hierarchical selection kicks in automatically for images of at least
+    # this many pixels (the pair-sort macro binning beats the flat chunked
+    # top_k merge once the tile count is large; see BENCHMARKS.md).
+    macro_above_pixels: int = 256 * 256
     macro: int = 4
     macro_capacity: int = 1024
     white_background: bool = False
@@ -302,7 +303,7 @@ def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
 def make_settings_from_dims(height: int, width: int, cfg: GSTrainConfig):
     from aip_tpu.gs.rasterizer import RasterSettings
 
-    macro = cfg.macro if height * width > cfg.macro_above_pixels else 1
+    macro = cfg.macro if height * width >= cfg.macro_above_pixels else 1
     # Remat only when the [tiles, K, 256] autodiff intermediates would be
     # large (>~0.5 GB); below that, storing them is faster than recompute.
     n_tiles = ((height + 15) // 16) * ((width + 15) // 16)

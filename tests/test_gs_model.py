@@ -201,3 +201,45 @@ def test_hash_encode_sg_matches_autodiff(rng):
     gb = jax.grad(lambda tb: jnp.sum(hash_encode_sg(tb, x) * g_seed))(field.hash_tables)
     scale = float(jnp.abs(ga).max())
     assert float(jnp.abs(ga - gb).max()) / scale < 1e-4
+
+
+def test_hash_grad_pallas_matches_scatter():
+    """Pallas fused one-hot-matmul hash gradient (interpret) == scatter
+    gradient, small table."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aip_tpu.gs import colorfield as CF
+    from aip_tpu.ops.pallas.hashgrad import hash_grad_pallas
+
+    key = jax.random.PRNGKey(0)
+    params = CF.init_colorfield(key, style_dim=None, log2_hashmap=10)
+    tables = params.hash_tables  # [L, T, F]
+    l, t, f = tables.shape
+    n = 64
+    x01 = jax.random.uniform(jax.random.PRNGKey(1), (n, 3))
+    g_out = jax.random.normal(jax.random.PRNGKey(2), (n, l * f))
+
+    def loss(tb):
+        return jnp.sum(CF.hash_encode(tb, x01) * g_out)
+
+    want = jax.grad(loss)(tables)
+
+    idx, w = CF._encode_terms(tables.shape, x01)
+    local = idx - jnp.arange(l, dtype=idx.dtype)[None, :, None] * t
+    vals = w[..., None] * g_out.reshape(n, l, 1, f)
+    lo_bits = (t - 1).bit_length() // 2
+    lo_n = 1 << lo_bits
+    hi_n = (t + lo_n - 1) // lo_n
+    hi = (local >> lo_bits).transpose(1, 0, 2).reshape(l, -1)
+    lo = (local & (lo_n - 1)).transpose(1, 0, 2).reshape(l, -1)
+    v = vals.transpose(1, 0, 2, 3).reshape(l, -1, f)
+
+    acc = hash_grad_pallas(hi, lo, v, hi_n, lo_n, chunk=128, interpret=True)
+    got = acc.reshape(l, hi_n * lo_n, f)[:, :t, :]
+    # bf16 value rounding in the one-hot matmul accumulation (same
+    # class as the XLA mxu path's documented 1.6e-3 rel; tcnn itself
+    # accumulates hashgrid gradients in fp16).
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=4e-3)
