@@ -714,23 +714,24 @@ def _composite_macro_pallas(macro_idx, mean2d, conics, colors, opacities,
 def _composite_macro_mxu(macro_idx, mean2d, conics, colors, opacities,
                          bg_color, m, mth, mtw, interpret=False):
     """Macro-block compositing through the dense-group MXU kernel
-    (ops/pallas/composite.py composite_macro_mxu_pallas). log(opacity) is
-    folded into the constant polynomial coefficient so alpha becomes
-    exp(min(power', 0)) with no per-candidate scalars in the kernel."""
+    (ops/pallas/composite.py composite_macro_mxu_pallas). One packed
+    [N, 16] attribute table feeds a single [M, Kc, 16] gather; the kernel
+    derives the quadratic coefficients in block-local coordinates itself
+    (log(opacity) folded into the constant term). Slots past each block's
+    valid count are masked in-kernel — valid entries are a prefix of the
+    depth-sorted list."""
     from aip_tpu.ops.pallas.composite import composite_macro_mxu_pallas
 
     bs = m * TILE
-    n_blocks = mth * mtw
-    coeff, gcol, gop, counts, _my = _macro_coeffs(
-        macro_idx, mean2d, conics, colors, opacities, n_blocks, mtw, bs)
-    logop = jnp.log(jnp.maximum(gop, 1e-30))
-    coeff8 = jnp.concatenate(
-        [(coeff[..., 0] + logop)[..., None], coeff[..., 1:6],
-         jnp.zeros_like(logop)[..., None], jnp.zeros_like(logop)[..., None]],
-        axis=-1)
-    col4 = jnp.concatenate([gcol, jnp.zeros_like(gcol[..., :1])], axis=-1)
+    n = mean2d.shape[0]
+    logop = jnp.log(jnp.maximum(opacities, 1e-30))
+    table = jnp.concatenate([
+        mean2d, conics, logop[:, None], colors,
+        jnp.zeros((n, 7), mean2d.dtype)], axis=1)  # [N, 16]
+    raw = table[jnp.maximum(macro_idx, 0)]          # [M, Kc, 16]
+    counts = jnp.sum(macro_idx >= 0, axis=1).astype(jnp.int32)
     planes = composite_macro_mxu_pallas(
-        coeff8, col4, counts, bg_color, bs=bs, interpret=interpret)
+        raw, counts, bg_color, bs=bs, mtw=mtw, interpret=interpret)
     img = planes.reshape(mth, mtw, 3, bs, bs).transpose(0, 3, 1, 4, 2)
     return img.reshape(mth * bs, mtw * bs, 3)
 

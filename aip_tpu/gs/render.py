@@ -117,9 +117,9 @@ def render(
         if use_pallas:
             renderer = "pallas"
         elif mode == "inference" and settings.image_height * settings.image_width >= 512 * 512:
-            # The matmul macro-block compositor wins at high resolution
-            # (selection dominates there, BENCHMARKS.md); plain XLA compiles
-            # faster and is quicker for small previews.
+            # The dense-group MXU macro compositor wins at high resolution
+            # (count-bounded with transmittance early-exit, BENCHMARKS.md);
+            # plain XLA compiles faster and is quicker for small previews.
             renderer = "matmul"
         else:
             renderer = "xla"
@@ -127,7 +127,8 @@ def render(
         from aip_tpu.gs.rasterizer import rasterize_matmul
 
         if settings.macro <= 1:
-            settings = settings._replace(macro=4, macro_capacity=512)
+            settings = settings._replace(macro=4, macro_capacity=1024,
+                                         composite_backend="mxu")
         img, radii = rasterize_matmul(
             xyz, scales, rotations, opacity, colors, vm, pm,
             jnp.asarray(bg_color, jnp.float32), settings,

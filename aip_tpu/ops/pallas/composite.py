@@ -265,7 +265,7 @@ def composite_macro_blocks_pallas(
     )
 
 
-def _make_mxu_kernel(kc: int, p: int, group: int):
+def _make_mxu_kernel(kc: int, p: int, group: int, mtw: int, bs: int):
     """Dense-group MXU composite for one macro block.
 
     Per group of ``group`` depth-ordered candidates, everything heavy is a
@@ -273,25 +273,48 @@ def _make_mxu_kernel(kc: int, p: int, group: int):
     ``coeff @ basis`` on the MXU; the exclusive prefix transmittance is a
     strict-lower-triangular matmul over per-candidate log(1-alpha)
     (prefix-scan-as-matmul — no sequential per-candidate chain); the color
-    accumulation is a third matmul. log(opacity) is folded into the
-    constant coefficient so the walk needs no per-candidate scalar loads.
-    The group loop is bounded by the block's valid-candidate count and
-    exits early once every pixel is past the 1e-4 transmittance cutoff,
-    so work tracks actual demand, not the padded capacity."""
+    accumulation is a third matmul. The quadratic coefficients are derived
+    IN-KERNEL from raw gathered attributes ([Kc, 16] rows: mx, my, conic,
+    log-opacity, rgb) as column-wise vector ops in block-LOCAL coordinates
+    — one packed XLA gather feeds the kernel instead of four plus host-side
+    coefficient math. log(opacity) folds into the constant coefficient so
+    alpha = exp(min(power', 0)) with no per-candidate scalars. The group
+    loop is bounded by the block's valid-candidate count (valid slots are
+    a prefix of the depth-sorted list) and exits early at the 1e-4
+    transmittance cutoff, so work tracks actual demand, not capacity."""
 
-    def kernel(coeff_ref, color_ref, count_ref, basis_ref, tri_ref, bg_ref,
+    def kernel(raw_ref, count_ref, basis_ref, tri_ref, bg_ref,
                out_ref, tcar_ref, acc_ref):
-        count = count_ref[pl.program_id(0)]
+        b = pl.program_id(0)
+        count = count_ref[b]
+        bx0 = ((b % mtw) * bs).astype(jnp.float32)
+        by0 = ((b // mtw) * bs).astype(jnp.float32)
         tcar_ref[...] = jnp.ones((1, p), jnp.float32)
         acc_ref[...] = jnp.zeros((4, p), jnp.float32)
+        iota_g = jax.lax.broadcasted_iota(jnp.int32, (group, 1), 0)
 
         def group_fn(g, carry):
             live = (g * group < count) & (jnp.max(tcar_ref[...]) > 1e-4)
 
             @pl.when(live)
             def _():
-                cf = coeff_ref[pl.ds(g * group, group), :]
-                cl = color_ref[pl.ds(g * group, group), :]
+                rw = raw_ref[pl.ds(g * group, group), :]   # [G, 16]
+                mxl = rw[:, 0:1] - bx0
+                myl = rw[:, 1:2] - by0
+                ca = rw[:, 2:3]
+                cb = rw[:, 3:4]
+                cc = rw[:, 4:5]
+                slot_live = (g * group + iota_g) < count
+                c0 = jnp.where(
+                    slot_live,
+                    -0.5 * (ca * mxl * mxl + cc * myl * myl) - cb * mxl * myl
+                    + rw[:, 5:6], -1e30)
+                zcol = jnp.zeros((group, 1), jnp.float32)
+                cf = jnp.concatenate([
+                    c0, ca * mxl + cb * myl, cc * myl + cb * mxl,
+                    -0.5 * ca, -0.5 * cc, -cb, zcol, zcol], axis=1)
+                cl = jnp.concatenate([rw[:, 6:9], zcol], axis=1)
+
                 pw = jax.lax.dot_general(
                     cf, basis_ref[...], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -322,13 +345,15 @@ def _make_mxu_kernel(kc: int, p: int, group: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("bs", "group", "interpret"))
+@functools.partial(jax.jit, static_argnames=("bs", "mtw", "group",
+                                             "interpret"))
 def composite_macro_mxu_pallas(
-    coeff: jax.Array,      # [M, Kc, 8] c0 (+log opacity), c1..c5, 0, 0
-    colors: jax.Array,     # [M, Kc, 4] rgb + pad
+    raw: jax.Array,        # [M, Kc, 16] gathered rows: mx, my, ca, cb, cc,
+                           # log(opacity), r, g, b, pad...
     counts: jax.Array,     # [M] valid candidates per block (list prefix)
     bg_color: jax.Array,   # [3]
     bs: int,
+    mtw: int,
     group: int = 64,
     interpret: bool = False,
 ) -> jax.Array:
@@ -336,7 +361,7 @@ def composite_macro_mxu_pallas(
     flat pixel planes (pixel (y, x) of block m at [m, c, 0, y*bs + x])."""
     import numpy as np
 
-    m, kc, _ = coeff.shape
+    m, kc, _ = raw.shape
     p = bs * bs
     bg = jnp.broadcast_to(bg_color.astype(jnp.float32)[None, :], (1, 3))
 
@@ -350,11 +375,10 @@ def composite_macro_mxu_pallas(
     tri = jnp.asarray(np.tril(np.ones((group, group), np.float32), -1))
 
     return pl.pallas_call(
-        _make_mxu_kernel(kc, p, group),
+        _make_mxu_kernel(kc, p, group, mtw, bs),
         grid=(m,),
         in_specs=[
-            pl.BlockSpec((None, kc, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, kc, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, kc, 16), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, p), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((group, group), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -369,8 +393,7 @@ def composite_macro_mxu_pallas(
         ],
         interpret=interpret,
     )(
-        coeff.astype(jnp.float32),
-        colors.astype(jnp.float32),
+        raw.astype(jnp.float32),
         counts.astype(jnp.int32),
         basis,
         tri,
