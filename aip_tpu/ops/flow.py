@@ -183,24 +183,46 @@ def _div(px: jax.Array, py: jax.Array) -> jax.Array:
 
 
 def _tvl1_level(i0, i1, flow, warps, iters, lam, theta, tau):
+    # lam/theta/tau are static floats (estimate_flow_tvl1 marks them
+    # static) so the Pallas inner kernel can close over them.
     h, w = i0.shape
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
     kx = np.array([[-0.5, 0.0, 0.5]], np.float32)
     i1x_full = _conv2_same(i1, kx)
     i1y_full = _conv2_same(i1, kx.T)
+    fields = jnp.stack([i1, i1x_full, i1y_full], axis=-1)  # [H, W, 3]
     l_t = lam * theta
     taut = tau / theta
+
+    # On TPU the whole inner recursion runs as one Pallas kernel per warp
+    # (fields stay in VMEM for all iterations; ops/pallas/tvl1.py) — the
+    # XLA loop splits each iteration into several HBM-round-tripping
+    # stencil kernels. CPU (tests) keeps the XLA path.
+    use_pallas = jax.default_backend() != "cpu"
 
     def warp_body(_, carry):
         u1, u2, p = carry
         u1_0 = jax.lax.stop_gradient(u1)
         u2_0 = jax.lax.stop_gradient(u2)
-        i1w = bilinear_sample(i1, ys + u2_0, xs + u1_0)
-        i1wx = bilinear_sample(i1x_full, ys + u2_0, xs + u1_0)
-        i1wy = bilinear_sample(i1y_full, ys + u2_0, xs + u1_0)
+        # One 3-channel gather instead of three scalar gathers: TPU gather
+        # cost is per gathered slice, so packing the image and its two
+        # gradient fields into the channel dim cuts the warp cost 3x.
+        sampled = bilinear_sample(fields, ys + u2_0, xs + u1_0)
+        i1w = sampled[..., 0]
+        i1wx = sampled[..., 1]
+        i1wy = sampled[..., 2]
         grad2 = i1wx * i1wx + i1wy * i1wy
         rho_c = i1w - i1wx * u1_0 - i1wy * u2_0 - i0
+
+        if use_pallas:
+            from aip_tpu.ops.pallas.tvl1 import tvl1_inner_pallas
+
+            u1n, u2n, pn = tvl1_inner_pallas(
+                rho_c[None], i1wx[None], i1wy[None], grad2[None],
+                u1[None], u2[None], tuple(x[None] for x in p),
+                iters, l_t, theta, taut)
+            return u1n[0], u2n[0], tuple(x[0] for x in pn)
 
         def inner(_, carry):
             u1, u2, p = carry
@@ -236,7 +258,8 @@ def _tvl1_level(i0, i1, flow, warps, iters, lam, theta, tau):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("levels", "warps", "iters"))
+                   static_argnames=("levels", "warps", "iters", "lam",
+                                    "theta", "tau"))
 def estimate_flow_tvl1(frame1: jax.Array, frame2: jax.Array,
                        levels: int = 4, warps: int = 5, iters: int = 300,
                        lam: float = 0.15, theta: float = 0.3,

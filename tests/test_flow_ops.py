@@ -116,3 +116,60 @@ def test_flow_method_dispatch(rng):
                                              method=m))
         assert fl.shape == (32, 32, 2)
         assert np.isfinite(fl).all()
+
+
+def test_tvl1_pallas_inner_matches_xla():
+    """The Pallas TV-L1 inner kernel (interpret) == the XLA inner loop."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from aip_tpu.ops.pallas.tvl1 import tvl1_inner_pallas
+
+    rng = np.random.default_rng(0)
+    h = w = 32
+    rho_c = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)) * 0.1
+    i1wx = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)) * 0.5
+    i1wy = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)) * 0.5
+    grad2 = i1wx * i1wx + i1wy * i1wy
+    u1 = jnp.zeros((h, w))
+    u2 = jnp.zeros((h, w))
+    p = (jnp.zeros((h, w)),) * 4
+    lam, theta, tau, iters = 0.15, 0.3, 0.25, 20
+    l_t, taut = lam * theta, tau / theta
+
+    # XLA reference: replicate flow._tvl1_level's inner loop
+    from aip_tpu.ops import flow as F
+
+    def inner(_, carry):
+        u1, u2, p = carry
+        rho = rho_c + i1wx * u1 + i1wy * u2
+        mask_lo = rho < -l_t * grad2
+        mask_hi = rho > l_t * grad2
+        safe = jnp.maximum(grad2, 1e-8)
+        d1 = jnp.where(mask_lo, l_t * i1wx,
+                       jnp.where(mask_hi, -l_t * i1wx, -rho * i1wx / safe))
+        d2 = jnp.where(mask_lo, l_t * i1wy,
+                       jnp.where(mask_hi, -l_t * i1wy, -rho * i1wy / safe))
+        v1, v2 = u1 + d1, u2 + d2
+        p11, p12, p21, p22 = p
+        u1 = v1 + theta * F._div(p11, p12)
+        u2 = v2 + theta * F._div(p21, p22)
+        u1x, u1y = F._grad_fwd(u1)
+        u2x, u2y = F._grad_fwd(u2)
+        n1 = 1.0 + taut * jnp.sqrt(u1x * u1x + u1y * u1y)
+        n2 = 1.0 + taut * jnp.sqrt(u2x * u2x + u2y * u2y)
+        p = ((p11 + taut * u1x) / n1, (p12 + taut * u1y) / n1,
+             (p21 + taut * u2x) / n2, (p22 + taut * u2y) / n2)
+        return u1, u2, p
+
+    wu1, wu2, wp = jax.lax.fori_loop(0, iters, inner, (u1, u2, p))
+
+    gu1, gu2, gp = tvl1_inner_pallas(
+        rho_c[None], i1wx[None], i1wy[None], grad2[None],
+        u1[None], u2[None], tuple(x[None] for x in p),
+        iters, l_t, theta, taut, interpret=True)
+    np.testing.assert_allclose(np.asarray(gu1[0]), np.asarray(wu1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gu2[0]), np.asarray(wu2), atol=1e-5)
+    for a, b in zip(gp, wp):
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b), atol=1e-5)
