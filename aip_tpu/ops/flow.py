@@ -43,13 +43,7 @@ def _downsample2(x: jax.Array) -> jax.Array:
     return _conv2_same(x, _GAUSS5)[::2, ::2]
 
 
-def bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
-    """Sample img ([H, W] or [H, W, C]) at float coords with reflect border.
-
-    cv2.remap(INTER_LINEAR, BORDER_REFLECT) parity.
-    """
-    h, w = img.shape[0], img.shape[1]
-
+def _reflect_coords(ys, xs, h, w):
     def reflect(i, n):
         # BORDER_REFLECT (gfedcb|abcdefgh|gfedcba): period 2n, mirror without
         # repeating the edge sample of cv2's REFLECT_101? cv2 BORDER_REFLECT
@@ -59,16 +53,28 @@ def bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
         i = jnp.mod(i, period)
         return jnp.where(i > n - 1, period - 1 - i, i)
 
-    yr = reflect(ys, h)
-    xr = reflect(xs, w)
+    return reflect(ys, h), reflect(xs, w)
+
+
+def bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
+    """Sample img ([H, W] or [H, W, C]) at float coords with reflect border.
+
+    cv2.remap(INTER_LINEAR, BORDER_REFLECT) parity. Four scalar-corner
+    gathers — robust everywhere; hot inner loops use
+    ``bilinear_sample_patch`` (4x fewer gathered slices, but large batched
+    instances of that gather shape have crashed the TPU compiler outside
+    the TV-L1 program, so it is opt-in).
+    """
+    h, w = img.shape[0], img.shape[1]
+    yr, xr = _reflect_coords(ys, xs, h, w)
     y0 = jnp.clip(jnp.floor(yr), 0, h - 1)
     x0 = jnp.clip(jnp.floor(xr), 0, w - 1)
     y1 = jnp.clip(y0 + 1, 0, h - 1)
     x1 = jnp.clip(x0 + 1, 0, w - 1)
     fy = (yr - y0)[..., None] if img.ndim == 3 else yr - y0
     fx = (xr - x0)[..., None] if img.ndim == 3 else xr - x0
-    y0i, y1i, x0i, x1i = y0.astype(jnp.int32), y1.astype(jnp.int32), x0.astype(jnp.int32), x1.astype(jnp.int32)
-
+    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
+    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
     v00 = img[y0i, x0i]
     v01 = img[y0i, x1i]
     v10 = img[y1i, x0i]
@@ -76,6 +82,59 @@ def bilinear_sample(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
     top = v00 * (1 - fx) + v01 * fx
     bot = v10 * (1 - fx) + v11 * fx
     return top * (1 - fy) + bot * fy
+
+
+def bilinear_sample_patch(img: jax.Array, ys: jax.Array,
+                          xs: jax.Array) -> jax.Array:
+    """``bilinear_sample`` with all four corners fetched as ONE
+    (2, 2, C)-slice gather (TPU gather cost is per gathered slice). Used
+    by the TV-L1 warp loop; see bilinear_sample for why it is opt-in."""
+    h, w = img.shape[0], img.shape[1]
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[..., None]
+
+    yr, xr = _reflect_coords(ys, xs, h, w)
+    y0 = jnp.clip(jnp.floor(yr), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xr), 0, w - 1)
+    fy = (yr - y0)[..., None]
+    fx = (xr - x0)[..., None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    # All four corners in ONE (2, 2[, C])-slice gather: TPU gather cost is
+    # per gathered slice, so this is 4x cheaper than four scalar-corner
+    # gathers. Slice starts clamp to h-2/w-2; when the start shifted
+    # (y0 == h-1 / x0 == w-1, where the clipped far corner duplicates the
+    # edge), the local offset o* flips to row/col 1 — the far corner is
+    # always local index 1 either way.
+    ys0 = jnp.minimum(y0i, h - 2)
+    xs0 = jnp.minimum(x0i, w - 2)
+    oy = y0i - ys0  # 0 or 1
+    ox = x0i - xs0
+    starts = jnp.stack([ys0, xs0], axis=-1)
+    nb = ys0.ndim
+    c = img.shape[2]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(nb, nb + 1, nb + 2), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    patch = jax.lax.gather(img, starts, dnums, (2, 2, c),
+                           mode=jax.lax.GatherScatterMode.CLIP)
+    oy = oy[..., None]
+    ox = ox[..., None]
+    s00 = patch[..., 0, 0, :]
+    s01 = patch[..., 0, 1, :]
+    s10 = patch[..., 1, 0, :]
+    s11 = patch[..., 1, 1, :]
+    v00 = jnp.where(oy == 0, jnp.where(ox == 0, s00, s01),
+                    jnp.where(ox == 0, s10, s11))
+    v01 = jnp.where(oy == 0, s01, s11)
+    v10 = jnp.where(ox == 0, s10, s11)
+    v11 = s11
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    out = top * (1 - fy) + bot * fy
+    return out[..., 0] if squeeze else out
 
 
 def warp_image(image: jax.Array, flow: jax.Array) -> jax.Array:
@@ -208,7 +267,7 @@ def _tvl1_level(i0, i1, flow, warps, iters, lam, theta, tau):
         # One 3-channel gather instead of three scalar gathers: TPU gather
         # cost is per gathered slice, so packing the image and its two
         # gradient fields into the channel dim cuts the warp cost 3x.
-        sampled = bilinear_sample(fields, ys + u2_0, xs + u1_0)
+        sampled = bilinear_sample_patch(fields, ys + u2_0, xs + u1_0)
         i1w = sampled[..., 0]
         i1wx = sampled[..., 1]
         i1wy = sampled[..., 2]

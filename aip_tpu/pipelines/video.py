@@ -132,9 +132,12 @@ def _batch_flows(frames: jax.Array, method: str = "lk") -> jax.Array:
 
     ``method`` picks the flow algorithm ('lk' | 'tvl1'), mirroring the
     reference's Farneback-vs-DualTVL1 switch (`video/utils.py:75-86`; its
-    video path defaults to DualTVL1)."""
-    f = lambda a, b: estimate_flow_method(a, b, method=method)
-    return jax.vmap(f)(frames[:-1], frames[1:])
+    video path defaults to DualTVL1). The batch maps in chunks of 32: the
+    XLA TPU gather used by the bilinear warps faults on very large
+    batched index sets (reproduced at ~95 x 256^2 slices), and 32 frames
+    already saturate the chip."""
+    f = lambda ab: estimate_flow_method(ab[0], ab[1], method=method)
+    return jax.lax.map(f, (frames[:-1], frames[1:]), batch_size=32)
 
 
 @jax.jit
