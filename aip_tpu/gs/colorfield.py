@@ -239,45 +239,52 @@ def _hash_encode_mxu_bwd(res, g_out):
     lo = (local & (lo_n - 1)).transpose(1, 0, 2).reshape(l, -1)
     v = vals.transpose(1, 0, 2, 3).reshape(l, -1, f)            # [L, M, F]
 
-    if jax.default_backend() != "cpu":
+    def pallas_branch(hi, lo, v):
         # Fused Pallas path: one-hots built in VMEM, no HBM materialization
         # of the [C, HI]/[C, LO*F] operands (halves the backward time).
         from aip_tpu.ops.pallas.hashgrad import hash_grad_pallas
 
-        acc = hash_grad_pallas(hi, lo, v, hi_n, lo_n)
-        table_grad = acc.reshape(l, hi_n * lo_n, f)[:, :t, :]
-        return table_grad.astype(g_out.dtype), jnp.zeros_like(x01)
+        return hash_grad_pallas(hi, lo, v, hi_n, lo_n)
 
-    m = hi.shape[1]
-    chunk = _mxu_chunk_for(l, hi_n, lo_n * f)
-    # Pad M to a chunk multiple with hi index = hi_n (one-hot row of zeros).
-    pad = (-m) % chunk
-    if pad:
-        hi = jnp.pad(hi, ((0, 0), (0, pad)), constant_values=hi_n)
-        lo = jnp.pad(lo, ((0, 0), (0, pad)))
-        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
-    steps = (m + pad) // chunk
-    hi = hi.reshape(l, steps, chunk).transpose(1, 0, 2)          # [S, L, C]
-    lo = lo.reshape(l, steps, chunk).transpose(1, 0, 2)
-    v = v.reshape(l, steps, chunk, f).transpose(1, 0, 2, 3)      # [S, L, C, F]
+    def xla_branch(hi, lo, v):
+        m = hi.shape[1]
+        chunk = _mxu_chunk_for(l, hi_n, lo_n * f)
+        # Pad M to a chunk multiple with hi index = hi_n (one-hot row of zeros).
+        pad = (-m) % chunk
+        if pad:
+            hi = jnp.pad(hi, ((0, 0), (0, pad)), constant_values=hi_n)
+            lo = jnp.pad(lo, ((0, 0), (0, pad)))
+            v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+        steps = (m + pad) // chunk
+        hi = hi.reshape(l, steps, chunk).transpose(1, 0, 2)          # [S, L, C]
+        lo = lo.reshape(l, steps, chunk).transpose(1, 0, 2)
+        v = v.reshape(l, steps, chunk, f).transpose(1, 0, 2, 3)      # [S, L, C, F]
 
-    iota_hi = jnp.arange(hi_n, dtype=hi.dtype)
-    iota_lo = jnp.arange(lo_n, dtype=lo.dtype)
+        iota_hi = jnp.arange(hi_n, dtype=hi.dtype)
+        iota_lo = jnp.arange(lo_n, dtype=lo.dtype)
 
-    def body(acc, operands):
-        hi_c, lo_c, v_c = operands                               # [L, C], [L, C, F]
-        hi_oh = (hi_c[..., None] == iota_hi).astype(jnp.bfloat16)        # [L, C, HI]
-        lo_v = ((lo_c[..., None] == iota_lo)[..., None].astype(jnp.bfloat16)
-                * v_c[..., None, :].astype(jnp.bfloat16))                # [L, C, LO, F]
-        lo_v = lo_v.reshape(lo_v.shape[0], lo_v.shape[1], lo_n * f)
-        acc = acc + jnp.einsum(
-            "lch,lck->lhk", hi_oh, lo_v,
-            preferred_element_type=jnp.float32,
-        )
-        return acc, None
+        def body(acc, operands):
+            hi_c, lo_c, v_c = operands                               # [L, C], [L, C, F]
+            hi_oh = (hi_c[..., None] == iota_hi).astype(jnp.bfloat16)        # [L, C, HI]
+            lo_v = ((lo_c[..., None] == iota_lo)[..., None].astype(jnp.bfloat16)
+                    * v_c[..., None, :].astype(jnp.bfloat16))                # [L, C, LO, F]
+            lo_v = lo_v.reshape(lo_v.shape[0], lo_v.shape[1], lo_n * f)
+            acc = acc + jnp.einsum(
+                "lch,lck->lhk", hi_oh, lo_v,
+                preferred_element_type=jnp.float32,
+            )
+            return acc, None
 
-    acc0 = jnp.zeros((l, hi_n, lo_n * f), jnp.float32)
-    acc, _ = jax.lax.scan(body, acc0, (hi, lo, v))
+        acc0 = jnp.zeros((l, hi_n, lo_n * f), jnp.float32)
+        acc, _ = jax.lax.scan(body, acc0, (hi, lo, v))
+        return acc
+
+    # Platform-resolved dispatch (NOT trace-time jax.default_backend():
+    # the branch must follow the platform the computation lowers for, so
+    # CPU-placed jits inside a TPU-default process — and AOT lowering —
+    # pick the right kernel).
+    acc = jax.lax.platform_dependent(hi, lo, v,
+                                     tpu=pallas_branch, default=xla_branch)
     table_grad = acc.reshape(l, hi_n * lo_n, f)[:, :t, :]
     return table_grad.astype(g_out.dtype), jnp.zeros_like(x01)
 

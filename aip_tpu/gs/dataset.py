@@ -201,6 +201,12 @@ def read_blender_scene(path, white_background=False, eval_split=False,
     for idx, frame in enumerate(contents["frames"]):
         rel = frame["file_path"]
         img_path = Path(path) / (rel.lstrip("./") + extension)
+        if not img_path.exists():
+            # Some capture sets store machine-absolute (even Windows)
+            # file_path entries (e.g. input/3dgs/bathtub_0121); recover by
+            # basename next to the json.
+            base = rel.replace("\\", "/").rstrip("/").rsplit("/", 1)[-1]
+            img_path = Path(path) / (base + extension)
         c2w = np.array(frame["transform_matrix"])
         c2w[:3, 1:3] *= -1  # OpenGL -> COLMAP axes
         w2c = np.linalg.inv(c2w)
@@ -217,10 +223,19 @@ def read_blender_scene(path, white_background=False, eval_split=False,
 
     ply_path = str(Path(path) / "points3d.ply")
     if not os.path.exists(ply_path):
-        num_pts = 100_000
-        xyz = np.random.random((num_pts, 3)) * 2.6 - 1.3
-        shs = np.random.random((num_pts, 3)) / 255.0
-        write_ply(ply_path, xyz, np.asarray(sh_to_rgb(shs)) * 255)
+        if not os.access(path, os.W_OK):
+            # Read-only source dir (e.g. the reference inputs): cache the
+            # random init cloud under a per-scene tmp path instead.
+            import hashlib
+            import tempfile
+
+            tag = hashlib.sha1(str(Path(path).resolve()).encode()).hexdigest()[:12]
+            ply_path = str(Path(tempfile.gettempdir()) / f"aip_points3d_{tag}.ply")
+        if not os.path.exists(ply_path):
+            num_pts = 100_000
+            xyz = np.random.random((num_pts, 3)) * 2.6 - 1.3
+            shs = np.random.random((num_pts, 3)) / 255.0
+            write_ply(ply_path, xyz, np.asarray(sh_to_rgb(shs)) * 255)
     pcd = fetch_ply(ply_path)
     return SceneInfo(pcd, infos, [], get_nerfpp_norm(infos), ply_path)
 

@@ -71,6 +71,13 @@ class RasterSettings(NamedTuple):
     # chunked top_k merge.
     select_backend: str = "pairsort"
     dup_span: int = 3
+    # Slots for 'giant' Gaussians (bounding rect wider than dup_span macro
+    # blocks) per super tile. TRUNCATION: only the giant_capacity
+    # front-most giants per super tile survive the coarse merge — scenes
+    # dense in very large splats beyond this lose the rearmost ones
+    # (exactly like a capped CUDA tile list). giant_capacity=0 is
+    # rejected by select_macro_pairsort (giants would silently never
+    # render); use select_backend='merge' to avoid the cap entirely.
     giant_capacity: int = 128
     # Macro-block composite backend for rasterize_matmul: 'matmul' (dense
     # XLA quadratic-basis MXU pipeline), 'pallas' (candidate walk with
@@ -335,6 +342,12 @@ def select_macro_pairsort(mean2d, depths, radii, valid, mth, mtw,
     bs = m * TILE
     kc = settings.macro_capacity
     d_span = settings.dup_span
+    if settings.giant_capacity <= 0:
+        raise ValueError(
+            "select_macro_pairsort needs giant_capacity > 0: Gaussians "
+            "wider than dup_span macro blocks are recovered only through "
+            "the super-grid giant pass, so 0 would silently drop them. "
+            "Use select_backend='merge' for an uncapped selection.")
     n_blocks = mth * mtw
     n = mean2d.shape[0]
 

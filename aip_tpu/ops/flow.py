@@ -90,6 +90,11 @@ def bilinear_sample_patch(img: jax.Array, ys: jax.Array,
     (2, 2, C)-slice gather (TPU gather cost is per gathered slice). Used
     by the TV-L1 warp loop; see bilinear_sample for why it is opt-in."""
     h, w = img.shape[0], img.shape[1]
+    if h < 2 or w < 2:
+        # The (2, 2, C) static slice needs both dims >= 2 (ys0 = min(y0,
+        # h-2) would go to -1); degenerate inputs (e.g. an over-deep
+        # pyramid on a tiny frame) take the scalar-corner path instead.
+        return bilinear_sample(img, ys, xs)
     squeeze = img.ndim == 2
     if squeeze:
         img = img[..., None]
@@ -254,12 +259,6 @@ def _tvl1_level(i0, i1, flow, warps, iters, lam, theta, tau):
     l_t = lam * theta
     taut = tau / theta
 
-    # On TPU the whole inner recursion runs as one Pallas kernel per warp
-    # (fields stay in VMEM for all iterations; ops/pallas/tvl1.py) — the
-    # XLA loop splits each iteration into several HBM-round-tripping
-    # stencil kernels. CPU (tests) keeps the XLA path.
-    use_pallas = jax.default_backend() != "cpu"
-
     def warp_body(_, carry):
         u1, u2, p = carry
         u1_0 = jax.lax.stop_gradient(u1)
@@ -274,7 +273,13 @@ def _tvl1_level(i0, i1, flow, warps, iters, lam, theta, tau):
         grad2 = i1wx * i1wx + i1wy * i1wy
         rho_c = i1w - i1wx * u1_0 - i1wy * u2_0 - i0
 
-        if use_pallas:
+        # On TPU the whole inner recursion runs as one Pallas kernel per
+        # warp (fields stay in VMEM for all iterations; ops/pallas/tvl1.py)
+        # — the XLA loop splits each iteration into several
+        # HBM-round-tripping stencil kernels. Dispatch is platform-resolved
+        # at lowering (lax.platform_dependent), not via the process-global
+        # default backend, so CPU-placed jits and AOT lowering pick right.
+        def pallas_branch(rho_c, i1wx, i1wy, grad2, u1, u2, p):
             from aip_tpu.ops.pallas.tvl1 import tvl1_inner_pallas
 
             u1n, u2n, pn = tvl1_inner_pallas(
@@ -307,7 +312,13 @@ def _tvl1_level(i0, i1, flow, warps, iters, lam, theta, tau):
                  (p21 + taut * u2x) / n2, (p22 + taut * u2y) / n2)
             return u1, u2, p
 
-        return jax.lax.fori_loop(0, iters, inner, (u1, u2, p))
+        def xla_branch(rho_c, i1wx, i1wy, grad2, u1, u2, p):
+            del rho_c, i1wx, i1wy, grad2  # closed over by `inner`
+            return jax.lax.fori_loop(0, iters, inner, (u1, u2, p))
+
+        return jax.lax.platform_dependent(
+            rho_c, i1wx, i1wy, grad2, u1, u2, p,
+            tpu=pallas_branch, default=xla_branch)
 
     zeros = jnp.zeros((h, w), jnp.float32)
     u1, u2, _p = jax.lax.fori_loop(

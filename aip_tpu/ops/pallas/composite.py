@@ -362,6 +362,15 @@ def composite_macro_mxu_pallas(
     import numpy as np
 
     m, kc, _ = raw.shape
+    # The kernel reads [Kc, 16] in pl.ds(g*group, group) strips; a Kc that
+    # is not a group multiple would let the last strip overrun the block
+    # and misalign rows against the slot_live mask. Pad the candidate dim
+    # up to the next group multiple (padded rows sit past `counts`, so the
+    # early-exit/slot mask never composites them).
+    if kc % group:
+        pad_k = (-kc) % group
+        raw = jnp.pad(raw, ((0, 0), (0, pad_k), (0, 0)))
+        kc += pad_k
     p = bs * bs
     bg = jnp.broadcast_to(bg_color.astype(jnp.float32)[None, :], (1, 3))
 
