@@ -10,7 +10,7 @@ import numpy as np
 import pygame
 
 from aip_tpu.gui.widgets import (
-    Button, Slider, RadioGroup, LoadingSpinner, PipelineRunner,
+    Button, Slider, RadioGroup, ListBox, LoadingSpinner, PipelineRunner,
     draw_text, open_file_dialog, surface_from_file, surface_from_array,
     WHITE, BLACK, DARK,
 )
@@ -176,28 +176,58 @@ class AdainPage(PipelinePage):
 
 
 class PixelArtPage(PipelinePage):
-    """Page 2 (second_page): pixelize with Lospec palettes / depixelize."""
+    """Page 2 (second_page): pixelize with the FULL Lospec palette chooser
+    (1024 palettes, scrollable + type-to-filter), brightness/contrast and
+    grayscale controls (second_page.py:176-298) / depixelize."""
 
     title = "Pixel Art"
     needs_style = False
 
     def setup(self):
+        from aip_tpu.pipelines.pixel_art import load_lospec_palettes
+
+        self._palettes = load_lospec_palettes()
+        names = sorted(self._palettes)
         self.radios = [
             RadioGroup(["Pixelize", "Depixelize"], 0),
             RadioGroup(["RGB", "LAB", "Floyd-Steinberg", "kd-tree"], 0),
+            RadioGroup(["color", "grayscale"], 0),
         ]
-        self.sliders = [Slider((220, 540, 160, 8), "downsample", 1, 16, 4)]
+        self.sliders = [
+            Slider((220, 540, 160, 8), "downsample", 1, 16, 4),
+            Slider((420, 540, 160, 8), "brightness", -1.0, 1.0, 0.0),
+            Slider((620, 540, 160, 8), "contrast", -1.0, 1.0, 0.0),
+        ]
+        self.palette_list = ListBox((220, 100, 200, 330), names,
+                                    selected=names.index("pico-8"))
+
+    def draw(self):
+        super().draw()
+        if self.radios[0].selected == 0:
+            self.palette_list.draw(self.screen)
+            # Swatch of the selected palette under the list.
+            pal = self._palettes[self.palette_list.value]
+            for i, hexc in enumerate(pal[:16]):
+                c = tuple(int(hexc.lstrip("#")[j:j + 2], 16) for j in (0, 2, 4))
+                pygame.draw.rect(self.screen, c,
+                                 (220 + i * 12, 436, 12, 12))
+
+    def handle(self, event):
+        super().handle(event)
+        if self.radios[0].selected == 0:
+            self.palette_list.handle(event)
 
     def run_pipeline(self):
         if self.radios[0].selected == 0:
-            from aip_tpu.pipelines.pixel_art import (
-                pixelize, load_lospec_palettes, hex_palette_to_rgb,
-            )
+            from aip_tpu.pipelines.pixel_art import pixelize, hex_palette_to_rgb
 
-            pal = hex_palette_to_rgb(load_lospec_palettes()["pico-8"])
+            pal = hex_palette_to_rgb(self._palettes[self.palette_list.value])
             return pixelize(
                 self.content_path,
                 downsampling_factor=int(self.sliders[0].value),
+                grayscale=self.radios[2].selected == 1,
+                brightness=self.sliders[1].value,
+                contrast=self.sliders[2].value,
                 palette=pal, method=self.radios[1].value,
             )
         from aip_tpu.pipelines.pixel_art import depixelize
@@ -206,7 +236,9 @@ class PixelArtPage(PipelinePage):
 
 
 class VideoPage(PipelinePage):
-    """Page 3 (third_page): video stylization with cancel support."""
+    """Page 3 (third_page): video stylization with cancel support, flow
+    method (farneback/tvl1/lk, the reference's Farneback-vs-DualTVL1
+    switch) and stylizer (AdaIN vs fast magenta-style) toggles."""
 
     title = "Video Style Transfer"
 
@@ -215,6 +247,10 @@ class VideoPage(PipelinePage):
             Slider((220, 540, 160, 8), "blend alpha", 0.0, 1.0, 0.7),
             Slider((420, 540, 160, 8), "depth offset", 0.0, 1.0, 0.3),
         ]
+        self.radios = [
+            RadioGroup(["farneback", "tvl1", "lk"], 0),
+            RadioGroup(["AdaIN", "fast stylizer"], 0),
+        ]
         self.buttons.append(Button((20, 240, 180, 40), "Stop",
                                    lambda: self.runner.cancel_flag.set()))
 
@@ -222,16 +258,27 @@ class VideoPage(PipelinePage):
         import tempfile
 
         from aip_tpu.pipelines.video import (
-            video_to_frames, apply_style_transfer_ada, frames_to_video,
+            video_to_frames, apply_style_transfer_ada, apply_style_transfer,
+            frames_to_video,
         )
 
         tmp = Path(tempfile.mkdtemp(prefix="aip_gui_video_"))
         video_to_frames(self.content_path, tmp / "frames")
-        apply_style_transfer_ada(
-            tmp / "frames", self.style_path, tmp / "styled",
-            alpha=self.sliders[0].value, offset=self.sliders[1].value,
-            cancel_flag=self.runner.cancel_flag,
-        )
+        flow_method = self.radios[0].value
+        if self.radios[1].selected == 1:
+            apply_style_transfer(
+                tmp / "frames", self.style_path, tmp / "styled",
+                alpha=self.sliders[0].value,
+                cancel_flag=self.runner.cancel_flag,
+                flow_method=flow_method,
+            )
+        else:
+            apply_style_transfer_ada(
+                tmp / "frames", self.style_path, tmp / "styled",
+                alpha=self.sliders[0].value, offset=self.sliders[1].value,
+                cancel_flag=self.runner.cancel_flag,
+                flow_method=flow_method,
+            )
         out = tmp / "out.mp4"
         frames_to_video(tmp / "styled", out)
         return str(out)

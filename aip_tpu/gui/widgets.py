@@ -116,6 +116,75 @@ class RadioGroup:
         return self.options[self.selected]
 
 
+class ListBox:
+    """Scrollable single-select list (the reference second_page's
+    1024-palette chooser, `gui/second_page.py:176-298`): mouse-wheel /
+    drag scroll, click select, optional incremental type-to-filter."""
+
+    def __init__(self, rect, options, selected=0, row_h=22):
+        self.rect = pygame.Rect(rect)
+        self.options = list(options)
+        self.selected = selected
+        self.row_h = row_h
+        self.scroll = 0  # first visible row index
+        self.filter = ""
+        self.font = pygame.font.Font(None, 20)
+        self._visible_idx = list(range(len(self.options)))
+
+    def _apply_filter(self):
+        f = self.filter.lower()
+        self._visible_idx = [i for i, o in enumerate(self.options)
+                             if f in o.lower()] if f else list(range(len(self.options)))
+        self.scroll = 0
+
+    @property
+    def value(self):
+        return self.options[self.selected]
+
+    def draw(self, surface):
+        pygame.draw.rect(surface, WHITE, self.rect)
+        pygame.draw.rect(surface, BLACK, self.rect, 2)
+        n_rows = self.rect.h // self.row_h
+        vis = self._visible_idx[self.scroll:self.scroll + n_rows]
+        for r, i in enumerate(vis):
+            y = self.rect.y + r * self.row_h
+            if i == self.selected:
+                pygame.draw.rect(surface, ACCENT,
+                                 (self.rect.x, y, self.rect.w, self.row_h))
+            draw_text(self.options[i], self.font,
+                      WHITE if i == self.selected else BLACK, surface,
+                      self.rect.x + 6, y + self.row_h // 2 - 6, center=False)
+        label = f"filter: {self.filter}" if self.filter else \
+            f"{len(self._visible_idx)} items"
+        draw_text(label, self.font, GRAY, surface,
+                  self.rect.x, self.rect.y - 14, center=False)
+
+    def handle(self, event):
+        n_rows = self.rect.h // self.row_h
+        if event.type == pygame.MOUSEWHEEL:
+            self.scroll = max(0, min(len(self._visible_idx) - n_rows,
+                                     self.scroll - event.y * 3))
+            return True
+        if (event.type == pygame.MOUSEBUTTONDOWN
+                and self.rect.collidepoint(event.pos)):
+            row = (event.pos[1] - self.rect.y) // self.row_h
+            vi = self.scroll + row
+            if 0 <= vi < len(self._visible_idx):
+                self.selected = self._visible_idx[vi]
+            return True
+        if event.type == pygame.KEYDOWN:
+            if event.key == pygame.K_BACKSPACE:
+                self.filter = self.filter[:-1]
+                self._apply_filter()
+                return True
+            ch = getattr(event, "unicode", "")
+            if ch and (ch.isalnum() or ch in "-_ "):
+                self.filter += ch
+                self._apply_filter()
+                return True
+        return False
+
+
 def open_file_dialog(title="Select file", filetypes=(("Images", "*.png *.jpg *.jpeg"),)):
     """tkinter picker; env-var / console fallback for headless sessions
     (draw_helpers.open_file_dialog parity)."""

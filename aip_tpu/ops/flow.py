@@ -362,10 +362,18 @@ def estimate_flow_tvl1(frame1: jax.Array, frame2: jax.Array,
     return flow
 
 
-FLOW_METHODS = {"lk": estimate_flow, "tvl1": estimate_flow_tvl1}
+def _farneback(frame1, frame2, **kw):
+    from aip_tpu.ops.farneback import estimate_flow_farneback
+
+    return estimate_flow_farneback(frame1, frame2, **kw)
 
 
-def estimate_flow_method(frame1, frame2, method: str = "lk", **kw):
+FLOW_METHODS = {"lk": estimate_flow, "tvl1": estimate_flow_tvl1,
+                "farneback": _farneback}
+
+
+def estimate_flow_method(frame1, frame2, method: str = "farneback", **kw):
     """Dispatch on flow algorithm (`video/utils.py:75-86`'s
-    Farneback-vs-DualTVL1 switch; here pyramidal-LK vs TV-L1)."""
+    Farneback-vs-DualTVL1 switch; Farneback is the reference's
+    `estimate_optical_flow` default, plus TV-L1 and pyramidal LK)."""
     return FLOW_METHODS[method](frame1, frame2, **kw)

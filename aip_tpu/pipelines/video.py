@@ -130,9 +130,10 @@ _stylize_frames_jit = jax.jit(_stylize_frames, static_argnames=("offset", "promi
 def _batch_flows(frames: jax.Array, method: str = "lk") -> jax.Array:
     """[N, H, W, 3] -> [N-1, H, W, 2] flows between consecutive frames.
 
-    ``method`` picks the flow algorithm ('lk' | 'tvl1'), mirroring the
-    reference's Farneback-vs-DualTVL1 switch (`video/utils.py:75-86`; its
-    video path defaults to DualTVL1). The batch maps in chunks of 32: the
+    ``method`` picks the flow algorithm ('farneback' | 'tvl1' | 'lk'),
+    mirroring the reference's Farneback-vs-DualTVL1 switch
+    (`video/utils.py:75-86`; its video driver defaults to DualTVL1, its
+    `estimate_optical_flow` to Farneback). The batch maps in chunks of 32: the
     XLA TPU gather used by the bilinear warps faults on very large
     batched index sets (reproduced at ~95 x 256^2 slices), and 32 frames
     already saturate the chip."""

@@ -173,3 +173,94 @@ def test_tvl1_pallas_inner_matches_xla():
     np.testing.assert_allclose(np.asarray(gu2[0]), np.asarray(wu2), atol=1e-5)
     for a, b in zip(gp, wp):
         np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Farneback: cv2.calcOpticalFlowFarneback is the direct numerical oracle
+# (the reference's estimate_optical_flow default, video/utils.py:79-81).
+# ---------------------------------------------------------------------------
+
+
+def _cv2_pair_to_rgb(g1, g2):
+    a = np.repeat((g1 / 255.0)[..., None], 3, -1).astype(np.float32)
+    b = np.repeat((g2 / 255.0)[..., None], 3, -1).astype(np.float32)
+    return a, b
+
+
+def test_farneback_matches_cv2_on_translation(rng):
+    import cv2
+
+    from aip_tpu.ops.farneback import estimate_flow_farneback
+
+    base = rng.random((120, 150)).astype(np.float32)
+    base = cv2.GaussianBlur(base, (0, 0), 3)
+    base = (base - base.min()) / (base.max() - base.min())
+    img = (base * 255).astype(np.uint8)
+    img2 = cv2.warpAffine(img, np.float32([[1, 0, 3], [0, 1, -2]]), (150, 120))
+
+    ref = cv2.calcOpticalFlowFarneback(img, img2, None, 0.5, 5, 15, 3, 7, 1.5, 0)
+    a, b = _cv2_pair_to_rgb(img, img2)
+    mine = np.asarray(estimate_flow_farneback(jnp.asarray(a), jnp.asarray(b)))
+
+    c = 20
+    epe_gt = np.linalg.norm(mine[c:-c, c:-c] - np.array([3, -2]), axis=-1).mean()
+    diff = np.linalg.norm(mine[c:-c, c:-c] - ref[c:-c, c:-c], axis=-1)
+    assert epe_gt < 0.05, epe_gt            # recovers the true displacement
+    assert diff.mean() < 0.02, diff.mean()  # and matches cv2 numerically
+
+
+def test_farneback_matches_cv2_on_real_image_rotation():
+    import cv2
+
+    from aip_tpu.ops.farneback import estimate_flow_farneback
+
+    img = cv2.imread("/root/reference/input/content/golden_gate.jpg")
+    img = cv2.resize(img, (200, 150))
+    g = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+    M = cv2.getRotationMatrix2D((100, 75), 2.0, 1.02)
+    g2 = cv2.warpAffine(g, M, (200, 150))
+
+    ref = cv2.calcOpticalFlowFarneback(g, g2, None, 0.5, 5, 15, 3, 7, 1.5, 0)
+    a, b = _cv2_pair_to_rgb(g, g2)
+    mine = np.asarray(estimate_flow_farneback(jnp.asarray(a), jnp.asarray(b)))
+
+    c = 20
+    diff = np.linalg.norm(mine[c:-c, c:-c] - ref[c:-c, c:-c], axis=-1)
+    mag = np.linalg.norm(ref[c:-c, c:-c], axis=-1).mean()
+    assert mag > 1.0                       # the oracle sees real motion
+    assert np.median(diff) < 0.1, np.median(diff)
+    assert diff.mean() < 0.3, diff.mean()
+
+
+def test_farneback_poly_expansion_fits_exact_quadratic():
+    """On an exactly quadratic image the weighted LS fit is exact away
+    from borders: recovered (b1, b2, a11, a22, 2a12) equal the source
+    polynomial's coefficients."""
+    from aip_tpu.ops.farneback import poly_expansion
+
+    h, w = 40, 40
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing="ij")
+    # f = 2 + 0.3x - 0.2y + 0.01x^2 + 0.02y^2 + 0.005xy  (local frame!)
+    f = (2 + 0.3 * xs - 0.2 * ys + 0.01 * xs ** 2 + 0.02 * ys ** 2
+         + 0.005 * xs * ys)
+    R = np.asarray(poly_expansion(jnp.asarray(f, jnp.float32), 7, 1.5))
+    y0, x0 = 20, 20
+    # Local expansion around (y0, x0): b1 = df/dx, b2 = df/dy there.
+    b1 = 0.3 + 0.02 * x0 + 0.005 * y0
+    b2 = -0.2 + 0.04 * y0 + 0.005 * x0
+    np.testing.assert_allclose(R[y0, x0, 0], b1, rtol=1e-3)
+    np.testing.assert_allclose(R[y0, x0, 1], b2, rtol=1e-3)
+    np.testing.assert_allclose(R[y0, x0, 2], 0.01, rtol=1e-2)
+    np.testing.assert_allclose(R[y0, x0, 3], 0.02, rtol=1e-2)
+    np.testing.assert_allclose(R[y0, x0, 4], 0.005, rtol=1e-2)
+
+
+def test_flow_method_dispatch_includes_farneback(rng):
+    from aip_tpu.ops.flow import FLOW_METHODS, estimate_flow_method
+
+    assert set(FLOW_METHODS) == {"lk", "tvl1", "farneback"}
+    f1, f2 = _shifted_pair(rng, 2, 1)
+    out = estimate_flow_method(jnp.asarray(f1), jnp.asarray(f2),
+                               method="farneback")
+    assert out.shape == (*f1.shape[:2], 2)

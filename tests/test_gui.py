@@ -93,3 +93,51 @@ def test_double_run_guard(app, monkeypatch):
     assert started
     assert not r.start(lambda: None)  # guard against double-launch
     r.thread.join()
+
+
+def test_pixelart_page_palette_chooser(app, tmp_path, rng, monkeypatch):
+    """The PixelArtPage surfaces the FULL Lospec palette set (reference
+    second_page's 1024-palette chooser) plus brightness/contrast and
+    grayscale controls, and runs pixelize with the chosen palette."""
+    from PIL import Image
+
+    from aip_tpu.gui.pages import PixelArtPage
+
+    page = PixelArtPage(app.screen, app._back_to_menu)
+    app.page = page
+    assert len(page.palette_list.options) >= 1024
+    assert {"pico-8", "sweetie-16", "slso8"} <= set(page.palette_list.options)
+    assert [s.label for s in page.sliders[1:]] == ["brightness", "contrast"]
+
+    # Type-to-filter narrows the visible list; selection survives.
+    for ch in "slso":
+        page.palette_list.handle(pygame.event.Event(
+            pygame.KEYDOWN, {"key": pygame.K_a, "unicode": ch}))
+    visible = [page.palette_list.options[i]
+               for i in page.palette_list._visible_idx]
+    assert "slso8" in visible and len(visible) < 50
+
+    page.palette_list.selected = page.palette_list.options.index("slso8")
+    c = tmp_path / "c.png"
+    Image.fromarray((rng.random((24, 24, 3)) * 255).astype(np.uint8)).save(c)
+    page.content_path = str(c)
+    page.sliders[1].value = 0.2   # brightness
+    page.sliders[2].value = 0.1   # contrast
+    out = page.run_pipeline()
+    assert out.dtype == np.uint8
+    # Every output pixel is an slso8 palette color.
+    from aip_tpu.pipelines.pixel_art import hex_palette_to_rgb
+
+    pal = hex_palette_to_rgb(page._palettes["slso8"])
+    flat = out.reshape(-1, 3)
+    match = (flat[:, None, :] == pal[None, :, :]).all(-1).any(-1)
+    assert match.all()
+    app.step([])  # draws the list + swatch without error
+
+
+def test_video_page_has_flow_and_stylizer_toggles(app):
+    from aip_tpu.gui.pages import VideoPage
+
+    page = VideoPage(app.screen, app._back_to_menu)
+    assert page.radios[0].options == ["farneback", "tvl1", "lk"]
+    assert page.radios[1].options == ["AdaIN", "fast stylizer"]
