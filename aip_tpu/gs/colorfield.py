@@ -48,6 +48,25 @@ def level_resolutions(n_levels: int = N_LEVELS):
     return [int(BASE_RES * PER_LEVEL_SCALE**l) for l in range(n_levels)]
 
 
+def level_table_sizes(log2_hashmap: int = LOG2_HASHMAP,
+                      n_levels: int = N_LEVELS):
+    """Effective entries per level: tcnn parity — levels whose dense grid
+    ((res+1)^3 corners, 8-aligned) fits under the hashmap budget are stored
+    DENSE (no hashing); larger levels hash into 2^log2_hashmap entries.
+    At the stock 16-level / 2^19 config this sums to 6.30M entries =
+    25.20 MB fp16, exactly the reference's hash-grid storage line
+    (`Style_3DGS/storage:6`, written by gaussian_model.py:624-632)."""
+    return level_table_sizes_for_cap(2 ** log2_hashmap, n_levels)
+
+
+def level_table_sizes_for_cap(table_cap: int, n_levels: int = N_LEVELS):
+    sizes = []
+    for res in level_resolutions(n_levels):
+        dense8 = -(-((res + 1) ** 3) // 8) * 8
+        sizes.append(dense8 if dense8 <= table_cap else table_cap)
+    return sizes
+
+
 def init_colorfield(key: jax.Array, style_dim: int | None = 256,
                     log2_hashmap: int = LOG2_HASHMAP) -> ColorFieldParams:
     t = 2**log2_hashmap
@@ -96,6 +115,21 @@ def _hash_corner(ix: jax.Array, iy: jax.Array, iz: jax.Array, table_size: int) -
     return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
 
 
+def _corner_index(p0i, ox, oy, oz, res: int, table_cap: int) -> jax.Array:
+    """Per-level corner -> table row. tcnn parity: DENSE linear indexing
+    when the (res+1)^3 grid (8-aligned) fits the hashmap budget — no
+    collisions on coarse levels — otherwise the spatial hash. Corner
+    coords clamp to res (contracted positions live in [0.25, 0.75] so the
+    boundary is never hit in practice)."""
+    if -(-((res + 1) ** 3) // 8) * 8 <= table_cap:
+        ix = jnp.minimum(p0i[:, 0] + ox, res)
+        iy = jnp.minimum(p0i[:, 1] + oy, res)
+        iz = jnp.minimum(p0i[:, 2] + oz, res)
+        return (ix + (res + 1) * (iy + (res + 1) * iz)).astype(jnp.int32)
+    return _hash_corner(p0i[:, 0] + ox, p0i[:, 1] + oy, p0i[:, 2] + oz,
+                        table_cap)
+
+
 def hash_encode(tables: jax.Array, x01: jax.Array) -> jax.Array:
     """[N, 3] positions in [0,1] -> [N, L*F] multires features."""
     feats = []
@@ -107,8 +141,7 @@ def hash_encode(tables: jax.Array, x01: jax.Array) -> jax.Array:
         level_feats = 0.0
         for corner in range(8):
             ox, oy, oz = corner & 1, (corner >> 1) & 1, (corner >> 2) & 1
-            idx = _hash_corner(p0i[:, 0] + ox, p0i[:, 1] + oy, p0i[:, 2] + oz,
-                               tables.shape[1])
+            idx = _corner_index(p0i, ox, oy, oz, res, tables.shape[1])
             wx = frac[:, 0] if ox else (1.0 - frac[:, 0])
             wy = frac[:, 1] if oy else (1.0 - frac[:, 1])
             wz = frac[:, 2] if oz else (1.0 - frac[:, 2])
@@ -131,7 +164,7 @@ def _encode_terms(tables_shape, x01):
         idx_c, w_c = [], []
         for corner in range(8):
             ox, oy, oz = corner & 1, (corner >> 1) & 1, (corner >> 2) & 1
-            idx = _hash_corner(p0i[:, 0] + ox, p0i[:, 1] + oy, p0i[:, 2] + oz, t)
+            idx = _corner_index(p0i, ox, oy, oz, res, t)
             wx = frac[:, 0] if ox else (1.0 - frac[:, 0])
             wy = frac[:, 1] if oy else (1.0 - frac[:, 1])
             wz = frac[:, 2] if oz else (1.0 - frac[:, 2])
@@ -232,12 +265,41 @@ def _hash_encode_mxu_bwd(res, g_out):
     g = g_out.reshape(n, l, 1, f)
     vals = (w[..., None] * g)                            # [N, L, 8, F]
 
-    lo_bits = (t - 1).bit_length() // 2
-    lo_n = 1 << lo_bits
-    hi_n = (t + lo_n - 1) // lo_n
-    hi = (local >> lo_bits).transpose(1, 0, 2).reshape(l, -1)   # [L, M]
-    lo = (local & (lo_n - 1)).transpose(1, 0, 2).reshape(l, -1)
-    v = vals.transpose(1, 0, 2, 3).reshape(l, -1, f)            # [L, M, F]
+    hi_all = local.transpose(1, 0, 2).reshape(l, -1)            # [L, M]
+    v_all = vals.transpose(1, 0, 2, 3).reshape(l, -1, f)        # [L, M, F]
+
+    # Group levels by effective table size (tcnn parity: dense coarse
+    # levels are far smaller than the hashed budget — their one-hot dots
+    # shrink with t_eff, so a uniform-T decomposition would waste MXU
+    # work on rows that can never be touched).
+    sizes = level_table_sizes_for_cap(t, l)
+    groups: list[tuple[int, list[int]]] = []
+    for lvl, te in enumerate(sizes):
+        if groups and groups[-1][0] == te:
+            groups[-1][1].append(lvl)
+        else:
+            groups.append((te, [lvl]))
+
+    parts = []
+    for te, levels in groups:
+        lo_bits = max(1, (te - 1).bit_length() // 2)
+        lo_n = 1 << lo_bits
+        hi_n = (te + lo_n - 1) // lo_n
+        hi_g = hi_all[levels, :] >> lo_bits
+        lo_g = hi_all[levels, :] & (lo_n - 1)
+        v_g = v_all[levels, :, :]
+        acc = _grad_group(hi_g, lo_g, v_g, hi_n, lo_n, f)
+        grad_g = acc.reshape(len(levels), hi_n * lo_n, f)[:, :te, :]
+        parts.append(jnp.pad(grad_g, ((0, 0), (0, t - te), (0, 0))))
+    table_grad = jnp.concatenate(parts, axis=0)
+    return table_grad.astype(g_out.dtype), jnp.zeros_like(x01)
+
+
+def _grad_group(hi, lo, v, hi_n: int, lo_n: int, f: int):
+    """[Lg, M] index streams + [Lg, M, F] values -> [Lg, hi_n, lo_n*F]
+    accumulator, platform-dispatched between the Pallas kernel and the
+    XLA one-hot-matmul scan."""
+    l = hi.shape[0]
 
     def pallas_branch(hi, lo, v):
         # Fused Pallas path: one-hots built in VMEM, no HBM materialization
@@ -283,10 +345,8 @@ def _hash_encode_mxu_bwd(res, g_out):
     # the branch must follow the platform the computation lowers for, so
     # CPU-placed jits inside a TPU-default process — and AOT lowering —
     # pick the right kernel).
-    acc = jax.lax.platform_dependent(hi, lo, v,
-                                     tpu=pallas_branch, default=xla_branch)
-    table_grad = acc.reshape(l, hi_n * lo_n, f)[:, :t, :]
-    return table_grad.astype(g_out.dtype), jnp.zeros_like(x01)
+    return jax.lax.platform_dependent(hi, lo, v,
+                                      tpu=pallas_branch, default=xla_branch)
 
 
 hash_encode_mxu.defvjp(_hash_encode_mxu_fwd, _hash_encode_mxu_bwd)

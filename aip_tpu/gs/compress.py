@@ -161,7 +161,16 @@ def save_npz(path, state: G.GaussianState, field, rvq_scale: rvq_mod.RVQState,
     sc_idx = np.asarray(sc_idx).astype(np.int32)
     ro_idx = np.asarray(ro_idx).astype(np.int32)
 
-    hash_q, hash_codes, hash_scale = post_quant(np.asarray(field.hash_tables), prune=True)
+    # Only each level's EFFECTIVE rows are serialized (tcnn parity: dense
+    # coarse levels are far smaller than the hashed budget — rows past
+    # level_table_sizes are unreachable padding; see colorfield.py).
+    from aip_tpu.gs.colorfield import level_table_sizes_for_cap
+
+    tables_np = np.asarray(field.hash_tables)
+    lvl_sizes = level_table_sizes_for_cap(tables_np.shape[1], tables_np.shape[0])
+    hash_flat = np.concatenate(
+        [tables_np[i, :s] for i, s in enumerate(lvl_sizes)], axis=0)
+    hash_q, hash_codes, hash_scale = post_quant(hash_flat, prune=True)
 
     mlp = {
         f"mlp_{k}": np.asarray(getattr(field, k)).astype(np.float16)
@@ -328,10 +337,26 @@ def load_npz(path, capacity: int | None = None):
         denom=jnp.zeros((cap, 1)),
     )
 
+    hash_shape = tuple(d["hash_shape"])
     if "hash_packed" in d:
-        hash_q = _decode_stream(d, "hash").reshape(tuple(d["hash_shape"]))
+        hash_q = _decode_stream(d, "hash")
     else:  # pre-entropy-coded format
-        hash_q = d["hash_q"]
+        hash_q = d["hash_q"].reshape(-1, hash_shape[-1])
+    if hash_q.size == int(np.prod(hash_shape)):
+        hash_q = hash_q.reshape(hash_shape)
+    else:
+        # Flat per-level-sized stream: re-pad each level to the uniform cap.
+        from aip_tpu.gs.colorfield import level_table_sizes_for_cap
+
+        l_lv, t_cap, f_f = hash_shape
+        lvl_sizes = level_table_sizes_for_cap(t_cap, l_lv)
+        flat = hash_q.reshape(-1, f_f)
+        full = np.zeros(hash_shape, flat.dtype)
+        off = 0
+        for i, s in enumerate(lvl_sizes):
+            full[i, :s] = flat[off:off + s]
+            off += s
+        hash_q = full
     hash_tables = hash_q.astype(np.float32) * d["hash_scale"]
     field = ColorFieldParams(
         hash_tables=jnp.asarray(hash_tables),

@@ -243,3 +243,58 @@ def test_hash_grad_pallas_matches_scatter():
     # accumulates hashgrid gradients in fp16).
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=4e-3)
+
+
+def test_level_table_sizes_match_reference_storage():
+    """tcnn parity: dense coarse levels + hashed fine levels sum to the
+    reference's exact hash-grid storage (25.20 MB fp16,
+    `Style_3DGS/storage:6`)."""
+    from aip_tpu.gs.colorfield import level_table_sizes
+
+    sizes = level_table_sizes(19, 16)
+    assert sizes[0] == 4920          # (16+1)^3 -> 8-aligned
+    assert sizes[-1] == 1 << 19      # fine levels hashed
+    assert all(s % 8 == 0 for s in sizes)
+    fp16_mb = sum(sizes) * 2 * 2 / 1e6
+    np.testing.assert_allclose(fp16_mb, 25.200, atol=0.005)
+
+
+def test_hash_encode_mxu_matches_autodiff_mixed_dense_hashed(rng):
+    """The grouped MXU backward must match the scatter autodiff when some
+    levels are dense (t_eff < T) and some hashed (log2=15: levels 0-1
+    dense at 4920/13824 entries, levels 2+ hashed at 32768)."""
+    from aip_tpu.gs.colorfield import (hash_encode, hash_encode_mxu,
+                                       level_table_sizes)
+
+    sizes = level_table_sizes(15, 16)
+    assert sizes[0] < (1 << 15) and sizes[2] == (1 << 15)  # mixed for real
+
+    field = init_colorfield(jax.random.PRNGKey(0), style_dim=None,
+                            log2_hashmap=15)
+    x = jnp.asarray(rng.random((257, 3)).astype(np.float32))
+    g_seed = jnp.asarray(rng.standard_normal((257, 32)).astype(np.float32))
+
+    np.testing.assert_array_equal(
+        np.asarray(hash_encode(field.hash_tables, x)),
+        np.asarray(hash_encode_mxu(field.hash_tables, x)))
+    ga = jax.grad(lambda tb: jnp.sum(hash_encode(tb, x) * g_seed))(field.hash_tables)
+    gb = jax.grad(lambda tb: jnp.sum(hash_encode_mxu(tb, x) * g_seed))(field.hash_tables)
+    scale = float(jnp.abs(ga).max())
+    assert float(jnp.abs(ga - gb).max()) / scale < 5e-3
+    # Rows past each level's effective size carry no gradient.
+    for lvl, s in enumerate(level_table_sizes(15, 16)):
+        if s < ga.shape[1]:
+            assert float(jnp.abs(ga[lvl, s:]).max()) == 0.0
+            assert float(jnp.abs(gb[lvl, s:]).max()) == 0.0
+
+
+def test_dense_levels_have_no_hash_collisions(rng):
+    """On a dense level, distinct integer cells map to distinct rows."""
+    from aip_tpu.gs.colorfield import _corner_index
+
+    res = 16  # level 0 at log2>=13 (4920 entries)
+    coords = np.stack(np.meshgrid(*[np.arange(res + 1)] * 3,
+                                  indexing="ij"), -1).reshape(-1, 3)
+    idx = np.asarray(_corner_index(jnp.asarray(coords), 0, 0, 0, res, 1 << 13))
+    assert len(np.unique(idx)) == len(coords)
+    assert idx.max() < 4920
