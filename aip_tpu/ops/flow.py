@@ -336,12 +336,18 @@ def estimate_flow_tvl1(frame1: jax.Array, frame2: jax.Array,
                        tau: float = 0.25) -> jax.Array:
     """DualTVL1-style dense flow frame1 -> frame2, [H, W, 2] (dx, dy).
 
-    Defaults mirror cv2 DualTVL1 (lambda 0.15, theta 0.3, tau 0.25, 5 warps,
-    300 = outer 10 x inner 30 primal-dual iterations per warp — TV
+    Zach-Pock-Bischof primal-dual TV-L1; validated against a straight-line
+    numpy implementation of the published scheme (IPOL, Sanchez et al.
+    Algorithm 1 — tests/test_flow_ops.py `_np_tvl1_level`) and against
+    synthetic ground-truth flow (mean EPE < 0.25 px on translations).
+    PARAMETERS mirror cv2 DualTVL1's defaults (lambda 0.15, theta 0.3,
+    tau 0.25, 5 warps, 300 = outer 10 x inner 30 iterations per warp — TV
     information propagates one pixel per iteration, so the full budget is
-    needed for exact convergence); median filtering is omitted (the TV prior
-    already regularizes). Fixed trip counts instead of cv2's epsilon exit
-    keep the program a static-shape lax.fori_loop nest for XLA."""
+    needed for convergence), but this is not a bit-for-bit cv2 port:
+    median filtering is omitted (the TV prior already regularizes) and
+    fixed trip counts replace cv2's epsilon exit to keep the program a
+    static-shape lax.fori_loop nest for XLA (cv2.optflow is absent in this
+    environment, so no direct cv2 oracle exists — unlike Farneback)."""
     g0 = rgb_to_gray(frame1.astype(jnp.float32))
     g1 = rgb_to_gray(frame2.astype(jnp.float32))
 

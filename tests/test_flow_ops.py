@@ -401,6 +401,8 @@ def test_tvl1_endpoint_error_on_known_flow(rng):
     base = (base - base.min()) / (base.max() - base.min())
     ys, xs = np.meshgrid(np.arange(100, dtype=float), np.arange(120, dtype=float),
                          indexing="ij")
+    # shifted(x) = base(x + d), so frame1(x) = frame2(x + flow) holds for
+    # flow = -d (the warp_image convention).
     shifted = map_coordinates(base, [ys + dy, xs + dx], order=3,
                               mode="reflect")
     f1 = np.repeat(base[..., None], 3, -1).astype(np.float32)
@@ -408,6 +410,6 @@ def test_tvl1_endpoint_error_on_known_flow(rng):
     flow = np.asarray(estimate_flow_tvl1(jnp.asarray(f1), jnp.asarray(f2),
                                          iters=100))
     c = 12
-    epe = np.linalg.norm(flow[c:-c, c:-c] - np.array([dx, dy]),
+    epe = np.linalg.norm(flow[c:-c, c:-c] - np.array([-dx, -dy]),
                          axis=-1).mean()
     assert epe < 0.25, epe
