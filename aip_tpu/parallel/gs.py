@@ -46,3 +46,157 @@ def replicated_scalars(mesh: Mesh, *arrays):
     rep = NamedSharding(mesh, P())
     out = tuple(jax.device_put(jnp.asarray(a), rep) for a in arrays)
     return out if len(out) > 1 else out[0]
+
+
+# ---------------------------------------------------------------------------
+# Sharded-Gaussian rendering (SURVEY §2.4 mapping (c)): scenes beyond one
+# chip's HBM. The Gaussian arrays are sharded over ``dp``; each device
+# projects and macro-bins its local shard, gathers the packed per-candidate
+# attribute rows LOCALLY (indices are shard-local, so attributes must be
+# materialized before any collective), then one all_to_all redistributes
+# candidates from Gaussian-sharding to BLOCK-sharding; each device
+# depth-merges the per-shard front-to-back prefixes for its block rows,
+# composites them, and an all_gather assembles the image. Communication per
+# device: blocks x Kc x 17 floats (the candidate rows), exactly once.
+# ---------------------------------------------------------------------------
+
+
+def _composite_raw_blocks(raw, counts, bg_color, bs: int, mtw: int,
+                          block0):
+    """Composite packed candidate rows (the _composite_macro_mxu table
+    layout: mean2d[0:2], conic[2:5], log-opacity[5], rgb[6:9]) for a strip
+    of macro blocks whose global ids start at ``block0``. [B', K, 16] ->
+    [B', bs*bs, 3]."""
+    nb, kc, _ = raw.shape
+    bids = block0 + jnp.arange(nb)
+    bx0 = ((bids % mtw) * bs).astype(jnp.float32)
+    by0 = ((bids // mtw) * bs).astype(jnp.float32)
+
+    mx = raw[..., 0] - bx0[:, None]
+    my = raw[..., 1] - by0[:, None]
+    ca, cb, cc = raw[..., 2], raw[..., 3], raw[..., 4]
+    coeff = jnp.stack([
+        -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my + raw[..., 5],
+        ca * mx + cb * my,
+        cc * my + cb * mx,
+        -0.5 * ca,
+        -0.5 * cc,
+        -cb,
+    ], axis=-1)  # [B', K, 6]; log-opacity folded into the constant term
+    slot_ok = jnp.arange(kc)[None, :] < counts[:, None]
+
+    yy = jnp.arange(bs, dtype=jnp.float32)
+    py, px = jnp.meshgrid(yy, yy, indexing="ij")
+    basis = jnp.stack([jnp.ones(bs * bs), px.reshape(-1), py.reshape(-1),
+                       (px * px).reshape(-1), (py * py).reshape(-1),
+                       (px * py).reshape(-1)])
+
+    def block_fn(args):
+        c, ok = args
+        power = jnp.dot(c, basis, precision=jax.lax.Precision.HIGHEST)
+        alpha = jnp.exp(jnp.minimum(power, 0.0))
+        alpha = jnp.minimum(0.99, alpha)
+        alpha = jnp.where(ok[:, None] & (alpha >= 1.0 / 255.0), alpha, 0.0)
+        log_t = jnp.cumsum(jnp.log1p(-alpha), axis=0)
+        t_exc = jnp.exp(jnp.concatenate([jnp.zeros_like(log_t[:1]),
+                                         log_t[:-1]]))
+        contrib = jnp.where(t_exc > 1e-4, alpha * t_exc, 0.0)
+        return contrib, jnp.exp(log_t[-1])
+
+    contrib, t_final = jax.lax.map(block_fn, (coeff, slot_ok))
+    rgb = jnp.einsum("bkp,bkc->bpc", contrib, raw[..., 6:9])
+    return rgb + t_final[..., None] * bg_color[None, None, :]
+
+
+def rasterize_sharded(
+    mesh: Mesh,
+    means3d, scales, rotations, opacities, colors,
+    viewmatrix, projmatrix, bg_color,
+    settings,
+    tanfovx=1.0, tanfovy=1.0,
+    axis: str = "dp",
+):
+    """Inference rasterization with the GAUSSIAN arrays sharded over
+    ``axis`` (model parallelism over the splat set, not the view batch).
+    Exact: per-shard selections keep settings.macro_capacity candidates
+    each, so the merged per-block list holds dp x Kc — a superset of the
+    replicated path's Kc. Returns the [H, W, 3] image (replicated).
+
+    Per-Gaussian inputs must be jax.Arrays placed with their leading axis
+    sharded over ``axis`` (see shard_gaussian_arrays); N % dp == 0.
+    """
+    import math
+
+    from aip_tpu.gs.rasterizer import (TILE, project_gaussians,
+                                       select_macro_pairsort, _tile_grid)
+
+    assert settings.macro > 1, "rasterize_sharded needs hierarchical settings"
+    dp = mesh.shape[axis]
+    th, tw = _tile_grid(settings)
+    m = settings.macro
+    mth = math.ceil(th / m)
+    mtw = math.ceil(tw / m)
+    bs = m * TILE
+    n_blocks = mth * mtw
+    blocks_pad = -(-n_blocks // dp) * dp
+    kc = settings.macro_capacity
+
+    def shard_fn(xyz, sc, rot, op, col, view, proj, bg):
+        mean2d, depths, conics, radii, valid = project_gaussians(
+            xyz, sc, rot, view, proj, tanfovx, tanfovy, settings)
+        idx, _ = select_macro_pairsort(mean2d, depths, radii, valid,
+                                       mth, mtw, settings)  # [B, Kc] local
+        logop = jnp.log(jnp.maximum(op, 1e-30))
+        table = jnp.concatenate(
+            [mean2d, conics, logop[:, None], col,
+             jnp.zeros((xyz.shape[0], 7), mean2d.dtype)], axis=1)
+        raw = table[jnp.maximum(idx, 0)]                     # [B, Kc, 16]
+        dep = jnp.where(idx >= 0, depths[jnp.maximum(idx, 0)], jnp.inf)
+
+        pad = blocks_pad - n_blocks
+        if pad:
+            raw = jnp.pad(raw, ((0, pad), (0, 0), (0, 0)))
+            dep = jnp.pad(dep, ((0, pad), (0, 0)),
+                          constant_values=jnp.inf)
+
+        # Gaussian-sharded -> block-sharded: each device receives every
+        # shard's candidate prefix for its block rows.
+        raw = jax.lax.all_to_all(raw, axis, split_axis=0, concat_axis=1,
+                                 tiled=True)   # [B/dp, dp*Kc, 16]
+        dep = jax.lax.all_to_all(dep, axis, split_axis=0, concat_axis=1,
+                                 tiled=True)
+
+        order = jnp.argsort(dep, axis=1)       # merge: global front-to-back
+        raw = jnp.take_along_axis(raw, order[..., None], axis=1)
+        counts = jnp.sum(jnp.isfinite(dep), axis=1).astype(jnp.int32)
+
+        block0 = jax.lax.axis_index(axis) * (blocks_pad // dp)
+        rgb = _composite_raw_blocks(raw, counts, bg, bs, mtw, block0)
+        return jax.lax.all_gather(rgb, axis, axis=0, tiled=True)
+
+    g_spec = P(axis)
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(g_spec, g_spec, g_spec, g_spec, g_spec, P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    blocks = fn(means3d, scales, rotations, opacities, colors,
+                jnp.asarray(viewmatrix, jnp.float32),
+                jnp.asarray(projmatrix, jnp.float32),
+                jnp.asarray(bg_color, jnp.float32))          # [Bpad, P, 3]
+    blocks = blocks[:n_blocks]
+    img = blocks.reshape(mth, mtw, bs, bs, 3).transpose(0, 2, 1, 3, 4)
+    img = img.reshape(mth * bs, mtw * bs, 3)
+    return img[: settings.image_height, : settings.image_width]
+
+
+def shard_gaussian_arrays(mesh: Mesh, *arrays, axis: str = "dp"):
+    """Place per-Gaussian arrays with the leading axis sharded over
+    ``axis`` (pad N to a dp multiple first — inactive slots render as
+    opacity 0)."""
+    out = tuple(
+        jax.device_put(jnp.asarray(a),
+                       NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1)))))
+        for a in arrays)
+    return out if len(out) > 1 else out[0]

@@ -92,3 +92,53 @@ def test_tp_actually_shards_conv_channels(rng):
             spec = p["w"].sharding.spec
             assert spec and spec[-1] == "tp", (
                 f"post-step kernel {p['w'].shape} lost its tp sharding: {spec}")
+
+
+def test_sharded_gaussian_render_matches_replicated(rng):
+    """SURVEY §2.4 mapping (c): rendering with the Gaussian arrays sharded
+    over dp (per-shard macro selection -> all_to_all to block sharding ->
+    depth merge -> composite -> all_gather) must match the replicated
+    single-device rasterizer."""
+    from aip_tpu.gs.rasterizer import RasterSettings, rasterize_matmul
+    from aip_tpu.parallel.mesh import make_mesh
+    from aip_tpu.parallel.gs import rasterize_sharded, shard_gaussian_arrays
+
+    n = 512
+    xyz = jnp.asarray((rng.random((n, 3)) * 2 - 1).astype(np.float32))
+    scales = jnp.asarray(np.log(rng.random((n, 3)) * 0.05 + 0.02).astype(np.float32))
+    scales = jnp.exp(scales)
+    q = rng.standard_normal((n, 4)).astype(np.float32)
+    rots = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True))
+    ops = jnp.asarray(rng.random(n).astype(np.float32) * 0.9)
+    cols = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+
+    import math as _m
+
+    a = 0.3
+    R = np.array([[np.cos(a), 0, -np.sin(a)], [0, 1, 0],
+                  [np.sin(a), 0, np.cos(a)]], np.float32)
+    from aip_tpu.gs.cameras import Camera
+
+    cam = Camera(colmap_id=0, R=R, T=np.array([0.0, 0.0, 2.5]),
+                 FoVx=1.1, FoVy=1.1,
+                 image=np.zeros((128, 128, 3), np.float32),
+                 image_name="c", uid=0)
+    view = jnp.asarray(cam.world_view_transform, jnp.float32)
+    proj = jnp.asarray(cam.full_proj_transform, jnp.float32)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    tanf = _m.tan(1.1 * 0.5)
+
+    settings = RasterSettings(image_height=128, image_width=128,
+                              macro=2, macro_capacity=n,
+                              composite_backend="matmul")
+    want, _radii = rasterize_matmul(xyz, scales, rots, ops, cols, view, proj,
+                                    bg, settings, tanfovx=tanf, tanfovy=tanf)
+
+    mesh = make_mesh(jax.devices()[:8], axis_names=("dp",), shape=(8,))
+    sh = shard_gaussian_arrays(mesh, xyz, scales, rots, ops, cols)
+    got = rasterize_sharded(mesh, *sh, view, proj, bg, settings,
+                            tanfovx=tanf, tanfovy=tanf)
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4)
