@@ -38,6 +38,10 @@ def run_3dgs_training(
     progress_every: int = 500,
     img_size: int = 512,
     seed: int = 0,
+    checkpoint_iterations=(),
+    test_iterations=(),
+    start_checkpoint=None,
+    logger=None,
 ) -> str:
     """Train a stylized 3DGS scene; saves a compressed model. Returns
     model_path."""
@@ -53,6 +57,11 @@ def run_3dgs_training(
         depth_prominence=depth_prominence, img_size=img_size,
         guide_dir=str(Path(model_path) / "stylized"),
         progress_every=progress_every, seed=seed,
+        checkpoint_iterations=checkpoint_iterations,
+        test_iterations=test_iterations,
+        start_checkpoint=start_checkpoint,
+        checkpoint_dir=str(Path(model_path) / "checkpoints"),
+        logger=logger,
     )
 
     out = Path(model_path)
