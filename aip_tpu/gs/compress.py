@@ -212,14 +212,18 @@ def save_npz(path, state: G.GaussianState, field, rvq_scale: rvq_mod.RVQState,
     hash_mb = hash_stream["packed"].nbytes / 1e6
     mlp_mb = sum(v.nbytes for v in mlp.values()) / 1e6
     total = pos_mb + sc_mb + ro_mb + op_mb + hash_mb + mlp_mb
+    # Exact reference report format (`Style_3DGS/storage`, written by
+    # gaussian_model.py:624-647): "Storage" header, bare per-component
+    # values, " MB" suffix only on the total.
     report = (
-        f"position: {pos_mb:.3f} MB\n"
-        f"scale: {sc_mb:.3f} MB\n"
-        f"rotation: {ro_mb:.3f} MB\n"
-        f"opacity: {op_mb:.3f} MB\n"
-        f"hash: {hash_mb:.3f} MB\n"
-        f"mlp: {mlp_mb:.3f} MB\n"
-        f"total: {total:.3f} MB\n"
+        "Storage\n"
+        f"position: {round(pos_mb, 6)}\n"
+        f"scale: {round(sc_mb, 6)}\n"
+        f"rotation: {round(ro_mb, 6)}\n"
+        f"opacity: {round(op_mb, 6)}\n"
+        f"hash: {round(hash_mb, 6)}\n"
+        f"mlp: {round(mlp_mb, 6)}\n"
+        f"total: {round(total, 6)} MB"
     )
     return report
 
