@@ -59,9 +59,15 @@ class FlatFolderDataset:
 
 
 def infinite_batches(dataset: FlatFolderDataset, batch_size: int, seed: int = 0,
-                     crop: int = 256, prefetch: int = 2):
-    """Endless shuffled batches [B, crop, crop, 3], double-buffered."""
+                     crop: int = 256, prefetch: int = 2, num_workers: int = 8):
+    """Endless shuffled batches [B, crop, crop, 3].
+
+    ``num_workers`` decode threads (PIL decode/resize releases the GIL in
+    the C codecs) fill per-sample slots in parallel — the pool analog of
+    the reference's num_workers=16 DataLoader — and an assembler thread
+    emits batches in order, ``prefetch`` batches ahead of the consumer."""
     rng = np.random.default_rng(seed)
+    lock = threading.Lock()
 
     def index_stream():
         while True:
@@ -69,15 +75,33 @@ def infinite_batches(dataset: FlatFolderDataset, batch_size: int, seed: int = 0,
                 yield int(i)
 
     idx_iter = index_stream()
+
+    def next_sample():
+        # rng + iterator are shared: take both under one lock, decode
+        # outside it.
+        with lock:
+            i = next(idx_iter)
+            sample_rng = np.random.default_rng(rng.integers(1 << 63))
+        return dataset.load(i, sample_rng, crop)
+
     q: Queue = Queue(maxsize=prefetch)
 
-    def worker():
-        while True:
-            batch = np.stack([dataset.load(next(idx_iter), rng, crop)
-                              for _ in range(batch_size)])
-            q.put(batch)
+    if num_workers <= 1:
+        def worker():
+            while True:
+                q.put(np.stack([next_sample() for _ in range(batch_size)]))
 
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
+        threading.Thread(target=worker, daemon=True).start()
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=num_workers)
+
+        def assembler():
+            while True:
+                futs = [pool.submit(next_sample) for _ in range(batch_size)]
+                q.put(np.stack([f.result() for f in futs]))
+
+        threading.Thread(target=assembler, daemon=True).start()
     while True:
         yield q.get()
