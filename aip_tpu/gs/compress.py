@@ -347,6 +347,18 @@ def load_npz(path, capacity: int | None = None):
     else:  # pre-entropy-coded format
         hash_q = d["hash_q"].reshape(-1, hash_shape[-1])
     if hash_q.size == int(np.prod(hash_shape)):
+        from aip_tpu.gs.colorfield import level_table_sizes_for_cap
+
+        lvl_sizes = level_table_sizes_for_cap(hash_shape[1], hash_shape[0])
+        if sum(lvl_sizes) != hash_shape[0] * hash_shape[1]:
+            # A full [L, T, F] stream at a cap where coarse levels are now
+            # DENSE can only come from a pre-r3 save whose coarse levels
+            # were trained under hashed indexing — decoding it with dense
+            # _corner_index would silently scramble them.
+            raise ValueError(
+                f"{path}: legacy full-table hash stream (pre dense-level "
+                "indexing). Re-train or re-save the model; coarse-level "
+                "rows cannot be remapped onto the dense layout.")
         hash_q = hash_q.reshape(hash_shape)
     else:
         # Flat per-level-sized stream: re-pad each level to the uniform cap.

@@ -606,49 +606,50 @@ def rasterize(
     return img, radii
 
 
-def _composite_macro_matmul(macro_idx, mean2d, conics, colors, opacities,
-                            bg_color, th, tw, m, mtw):
-    """Per-macro-block compositing as MXU matmuls.
+def pack_raw_table(mean2d, conics, opacities, colors):
+    """THE canonical packed per-Gaussian attribute row, shared by every
+    raw-consuming composite (the dense-group MXU Pallas kernel, the XLA
+    ``composite_raw_blocks``, and the sharded renderer's all_to_all
+    payload): [mean2d(2), conic(3), log-opacity(1), rgb(3), pad(7)] = 16."""
+    n = mean2d.shape[0]
+    logop = jnp.log(jnp.maximum(opacities, 1e-30))
+    return jnp.concatenate([
+        mean2d, conics, logop[:, None], colors,
+        jnp.zeros((n, 7), mean2d.dtype)], axis=1)
 
-    The Gaussian log-density is a quadratic in pixel coordinates, so for a
-    block of P pixels and Kc candidates:
+
+def composite_raw_blocks(raw, counts, bg_color, bs: int, mtw: int,
+                         block0=0):
+    """Per-macro-block compositing of packed candidate rows as MXU matmuls.
+
+    The Gaussian log-density is quadratic in pixel coordinates, so for a
+    block of P pixels and Kc depth-sorted candidates:
         power = C[Kc, 6] @ B[6, P]
-    with C the per-candidate polynomial coefficients and B the pixel basis
-    [1, x, y, x^2, y^2, xy]. The weighted color sum is a second matmul
-    W^T[P, Kc] @ colors[Kc, 3]; transmittance is exp(cumsum(log1p(-alpha))).
-    Both big contractions ride the MXU; lax.map over macro blocks bounds
-    the working set. Returns the [H, W, 3] image.
-    """
-    n_blocks, kc = macro_idx.shape
-    bs = m * TILE  # macro block edge in pixels
-    p = bs * bs
+    with C the per-candidate polynomial coefficients in block-LOCAL
+    coordinates (fp32 conditioning: global x^2 reaches ~4e6 and would
+    destroy matmul precision) and log-opacity folded into the constant
+    term; the weighted color sum is a second matmul; transmittance is
+    exp(cumsum(log1p(-alpha))). ``lax.map`` over blocks bounds the working
+    set. ``block0`` offsets the global block ids (the sharded renderer
+    composites a strip). [B', K, 16] + [B'] counts -> [B', bs*bs, 3]."""
+    nb, kc, _ = raw.shape
+    bids = block0 + jnp.arange(nb)
+    bx0 = ((bids % mtw) * bs).astype(jnp.float32)
+    by0 = ((bids // mtw) * bs).astype(jnp.float32)
 
-    valid = macro_idx >= 0
-    safe = jnp.maximum(macro_idx, 0)
-    gm = mean2d[safe]            # [M, Kc, 2]
-    gc = conics[safe]            # [M, Kc, 3]
-    gcol = colors[safe]          # [M, Kc, 3]
-    gop = jnp.where(valid, opacities[safe], 0.0)  # [M, Kc]
-
-    bx0 = ((jnp.arange(n_blocks) % mtw) * bs).astype(jnp.float32)
-    by0 = ((jnp.arange(n_blocks) // mtw) * bs).astype(jnp.float32)
-
-    # Block-LOCAL means: conditioning for the quadratic basis (coordinates
-    # stay in [0, bs) so px^2 <= bs^2; with global pixel coords the x^2 term
-    # reaches ~4e6 and fp32 matmul precision would be destroyed).
-    mx = gm[..., 0] - bx0[:, None]
-    my = gm[..., 1] - by0[:, None]
-    ca, cb, cc = gc[..., 0], gc[..., 1], gc[..., 2]
+    mx = raw[..., 0] - bx0[:, None]
+    my = raw[..., 1] - by0[:, None]
+    ca, cb, cc = raw[..., 2], raw[..., 3], raw[..., 4]
     coeff = jnp.stack([
-        -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my,
+        -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my + raw[..., 5],
         ca * mx + cb * my,
         cc * my + cb * mx,
         -0.5 * ca,
         -0.5 * cc,
         -cb,
-    ], axis=-1)  # [M, Kc, 6]
+    ], axis=-1)  # [B', K, 6]
+    slot_ok = jnp.arange(kc)[None, :] < counts[:, None]
 
-    # Local pixel basis, shared by all blocks: [6, P].
     yy = jnp.arange(bs, dtype=jnp.float32)
     py_l, px_l = jnp.meshgrid(yy, yy, indexing="ij")
     px_l = px_l.reshape(-1)
@@ -657,20 +658,33 @@ def _composite_macro_matmul(macro_idx, mean2d, conics, colors, opacities,
                        px_l * px_l, py_l * py_l, px_l * py_l])
 
     def block_fn(args):
-        c, col, op = args
+        c, col, ok = args
         power = jnp.dot(c, basis,
-                        precision=jax.lax.Precision.HIGHEST)  # [Kc, P] MXU
-        power = jnp.minimum(power, 0.0)
-        alpha = jnp.minimum(0.99, op[:, None] * jnp.exp(power))
-        alpha = jnp.where(alpha < (1.0 / 255.0), 0.0, alpha)
+                        precision=jax.lax.Precision.HIGHEST)  # [K, P] MXU
+        alpha = jnp.minimum(0.99, jnp.exp(jnp.minimum(power, 0.0)))
+        alpha = jnp.where(ok[:, None] & (alpha >= 1.0 / 255.0), alpha, 0.0)
         log_t = jnp.cumsum(jnp.log1p(-alpha), axis=0)
         t_exc = jnp.exp(jnp.concatenate([jnp.zeros_like(log_t[:1]), log_t[:-1]]))
-        contrib = jnp.where(t_exc > 1e-4, alpha * t_exc, 0.0)  # [Kc, P]
+        contrib = jnp.where(t_exc > 1e-4, alpha * t_exc, 0.0)  # [K, P]
         rgb = contrib.T @ col  # [P, 3] on the MXU
         t_final = jnp.exp(log_t[-1])
         return rgb + t_final[:, None] * bg_color[None, :]
 
-    blocks = jax.lax.map(block_fn, (coeff, gcol, gop))  # [M, P, 3]
+    return jax.lax.map(block_fn, (coeff, raw[..., 6:9], slot_ok))
+
+
+def _composite_macro_matmul(macro_idx, mean2d, conics, colors, opacities,
+                            bg_color, th, tw, m, mtw):
+    """Macro-block compositing through ``composite_raw_blocks`` (one packed
+    gather from the canonical attribute table). Returns the [H, W, 3]
+    image."""
+    n_blocks, kc = macro_idx.shape
+    bs = m * TILE  # macro block edge in pixels
+
+    table = pack_raw_table(mean2d, conics, opacities, colors)
+    raw = table[jnp.maximum(macro_idx, 0)]               # [M, Kc, 16]
+    counts = jnp.sum(macro_idx >= 0, axis=1).astype(jnp.int32)
+    blocks = composite_raw_blocks(raw, counts, bg_color, bs, mtw)  # [M, P, 3]
     mth = n_blocks // mtw
     img = blocks.reshape(mth, mtw, bs, bs, 3).transpose(0, 2, 1, 3, 4)
     img = img.reshape(mth * bs, mtw * bs, 3)

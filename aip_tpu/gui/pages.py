@@ -22,6 +22,9 @@ class PipelinePage:
     title = "Pipeline"
     needs_style = True
     content_label = "Select content"
+    radio_y = 260            # top of the radio column (pages with extra
+    result_pos = (240, 90)   # buttons/widgets override these to avoid
+    result_max = (420, 420)  # overlap)
 
     def __init__(self, screen, go_back):
         self.screen = screen
@@ -90,9 +93,15 @@ class PipelinePage:
             try:
                 if isinstance(res, (str, Path)) and Path(str(res)).suffix.lower() in (
                         ".png", ".jpg", ".jpeg", ".gif"):
-                    self.result_surface = surface_from_file(res, max_size=(420, 420))
+                    self.result_surface = surface_from_file(res, max_size=self.result_max)
                 elif isinstance(res, np.ndarray):
-                    self.result_surface = surface_from_array(res)
+                    surf = surface_from_array(res)
+                    w, h = surf.get_size()
+                    scale = min(self.result_max[0] / w, self.result_max[1] / h, 1.0)
+                    if scale < 1.0:
+                        surf = pygame.transform.smoothscale(
+                            surf, (int(w * scale), int(h * scale)))
+                    self.result_surface = surf
                 self.status = "Done"
             except Exception as e:
                 self.status = f"Result display failed: {e}"
@@ -105,7 +114,7 @@ class PipelinePage:
             b.draw(self.screen)
         for s in self.sliders:
             s.draw(self.screen)
-        y = 260
+        y = self.radio_y
         for r in self.radios:
             r.draw(self.screen, 30, y)
             y += 30 * len(r.options) + 10
@@ -121,7 +130,7 @@ class PipelinePage:
                       self.screen.get_width() // 2, self.screen.get_height() - 20)
         if self.result_surface is not None:
             rect = self.result_surface.get_rect()
-            rect.topleft = (240, 90)
+            rect.topleft = self.result_pos
             self.screen.blit(self.result_surface, rect)
 
     def handle(self, event):
@@ -182,6 +191,8 @@ class PixelArtPage(PipelinePage):
 
     title = "Pixel Art"
     needs_style = False
+    result_pos = (440, 90)   # the palette list occupies x 220-420
+    result_max = (350, 440)
 
     def setup(self):
         from aip_tpu.pipelines.pixel_art import load_lospec_palettes
@@ -241,6 +252,7 @@ class VideoPage(PipelinePage):
     switch) and stylizer (AdaIN vs fast magenta-style) toggles."""
 
     title = "Video Style Transfer"
+    radio_y = 300  # keep the radio column clear of the Stop button (y 240-280)
 
     def setup(self):
         self.sliders = [

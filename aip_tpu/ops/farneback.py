@@ -221,11 +221,13 @@ def estimate_flow_farneback(frame1: jax.Array, frame2: jax.Array,
         g1 = g1 * 255.0
     h, w = g0.shape
 
-    # OpenCV level clamp: stop once the level would drop under ~8 px.
+    # OpenCV level clamp (optflowgf.cpp min_size = 32): stop once a level
+    # side would drop under 32 px — deeper sub-32 levels alias on fine
+    # texture and seed displacements the oracle never produces.
     n_levels = 0
     scale = 1.0
     for _ in range(levels):
-        if min(h, w) * scale * pyr_scale < 8:
+        if min(h, w) * scale * pyr_scale < 32:
             break
         scale *= pyr_scale
         n_levels += 1

@@ -61,53 +61,6 @@ def replicated_scalars(mesh: Mesh, *arrays):
 # ---------------------------------------------------------------------------
 
 
-def _composite_raw_blocks(raw, counts, bg_color, bs: int, mtw: int,
-                          block0):
-    """Composite packed candidate rows (the _composite_macro_mxu table
-    layout: mean2d[0:2], conic[2:5], log-opacity[5], rgb[6:9]) for a strip
-    of macro blocks whose global ids start at ``block0``. [B', K, 16] ->
-    [B', bs*bs, 3]."""
-    nb, kc, _ = raw.shape
-    bids = block0 + jnp.arange(nb)
-    bx0 = ((bids % mtw) * bs).astype(jnp.float32)
-    by0 = ((bids // mtw) * bs).astype(jnp.float32)
-
-    mx = raw[..., 0] - bx0[:, None]
-    my = raw[..., 1] - by0[:, None]
-    ca, cb, cc = raw[..., 2], raw[..., 3], raw[..., 4]
-    coeff = jnp.stack([
-        -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my + raw[..., 5],
-        ca * mx + cb * my,
-        cc * my + cb * mx,
-        -0.5 * ca,
-        -0.5 * cc,
-        -cb,
-    ], axis=-1)  # [B', K, 6]; log-opacity folded into the constant term
-    slot_ok = jnp.arange(kc)[None, :] < counts[:, None]
-
-    yy = jnp.arange(bs, dtype=jnp.float32)
-    py, px = jnp.meshgrid(yy, yy, indexing="ij")
-    basis = jnp.stack([jnp.ones(bs * bs), px.reshape(-1), py.reshape(-1),
-                       (px * px).reshape(-1), (py * py).reshape(-1),
-                       (px * py).reshape(-1)])
-
-    def block_fn(args):
-        c, ok = args
-        power = jnp.dot(c, basis, precision=jax.lax.Precision.HIGHEST)
-        alpha = jnp.exp(jnp.minimum(power, 0.0))
-        alpha = jnp.minimum(0.99, alpha)
-        alpha = jnp.where(ok[:, None] & (alpha >= 1.0 / 255.0), alpha, 0.0)
-        log_t = jnp.cumsum(jnp.log1p(-alpha), axis=0)
-        t_exc = jnp.exp(jnp.concatenate([jnp.zeros_like(log_t[:1]),
-                                         log_t[:-1]]))
-        contrib = jnp.where(t_exc > 1e-4, alpha * t_exc, 0.0)
-        return contrib, jnp.exp(log_t[-1])
-
-    contrib, t_final = jax.lax.map(block_fn, (coeff, slot_ok))
-    rgb = jnp.einsum("bkp,bkc->bpc", contrib, raw[..., 6:9])
-    return rgb + t_final[..., None] * bg_color[None, None, :]
-
-
 def rasterize_sharded(
     mesh: Mesh,
     means3d, scales, rotations, opacities, colors,
@@ -128,7 +81,8 @@ def rasterize_sharded(
     import math
 
     from aip_tpu.gs.rasterizer import (TILE, project_gaussians,
-                                       select_macro_pairsort, _tile_grid)
+                                       select_macro_pairsort, _tile_grid,
+                                       pack_raw_table, composite_raw_blocks)
 
     assert settings.macro > 1, "rasterize_sharded needs hierarchical settings"
     dp = mesh.shape[axis]
@@ -146,10 +100,7 @@ def rasterize_sharded(
             xyz, sc, rot, view, proj, tanfovx, tanfovy, settings)
         idx, _ = select_macro_pairsort(mean2d, depths, radii, valid,
                                        mth, mtw, settings)  # [B, Kc] local
-        logop = jnp.log(jnp.maximum(op, 1e-30))
-        table = jnp.concatenate(
-            [mean2d, conics, logop[:, None], col,
-             jnp.zeros((xyz.shape[0], 7), mean2d.dtype)], axis=1)
+        table = pack_raw_table(mean2d, conics, op, col)
         raw = table[jnp.maximum(idx, 0)]                     # [B, Kc, 16]
         dep = jnp.where(idx >= 0, depths[jnp.maximum(idx, 0)], jnp.inf)
 
@@ -171,7 +122,7 @@ def rasterize_sharded(
         counts = jnp.sum(jnp.isfinite(dep), axis=1).astype(jnp.int32)
 
         block0 = jax.lax.axis_index(axis) * (blocks_pad // dp)
-        rgb = _composite_raw_blocks(raw, counts, bg, bs, mtw, block0)
+        rgb = composite_raw_blocks(raw, counts, bg, bs, mtw, block0)
         return jax.lax.all_gather(rgb, axis, axis=0, tiled=True)
 
     g_spec = P(axis)

@@ -282,7 +282,8 @@ def apply_style_transfer(
         return apply_style_transfer_ada(
             content_dir, style_image_path, output_dir,
             target_resolution=target_resolution, alpha=alpha,
-            cancel_flag=cancel_flag, use_depth=False, **kw,
+            cancel_flag=cancel_flag, use_depth=False,
+            flow_method=flow_method, **kw,
         )
     from PIL import Image
 
