@@ -49,7 +49,14 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
 
 
 def _depthwise_filter(x: jax.Array, window: jax.Array) -> jax.Array:
-    """Zero-padded depthwise 2D filter on NHWC."""
+    """Zero-padded depthwise 2D filter on NHWC.
+
+    precision=HIGHEST is load-bearing: TPU fp32 convs default to
+    low-precision MXU passes, and SSIM's variance terms are the
+    catastrophically-cancelling E[x^2] - E[x]^2 — under bf16 filtering
+    the per-view SSIM leaves [-1, 1] entirely (observed -1.4..8.1 on
+    800^2 renders) and the D-SSIM training-loss gradient turns to noise.
+    """
     c = x.shape[-1]
     k = window.shape[0]
     w = jnp.broadcast_to(window[:, :, None, None], (k, k, 1, c))
@@ -60,6 +67,7 @@ def _depthwise_filter(x: jax.Array, window: jax.Array) -> jax.Array:
         padding=[(k // 2, k // 2), (k // 2, k // 2)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
