@@ -42,6 +42,8 @@ def run_3dgs_training(
     test_iterations=(),
     start_checkpoint=None,
     logger=None,
+    max_per_tile: int = 128,
+    macro_capacity: int = 1024,
 ) -> str:
     """Train a stylized 3DGS scene; saves a compressed model. Returns
     model_path."""
@@ -49,6 +51,7 @@ def run_3dgs_training(
         iterations=iterations, freeze_iters=freeze_iters,
         white_background=white_background, capacity=capacity,
         log2_hashmap=log2_hashmap,
+        max_per_tile=max_per_tile, macro_capacity=macro_capacity,
     )
     scene = Scene(str(content_path), white_background=white_background)
     trainer, style_f = train(
@@ -93,7 +96,7 @@ def run_3dgs_rendering(
     GIF path (render.py:51-113 parity)."""
     from PIL import Image
 
-    from aip_tpu.gs.render import render
+    from aip_tpu.gs.render import fit_macro_capacity, render
     from aip_tpu.gs.rasterizer import RasterSettings
     from aip_tpu.pipelines.adain_infer import get_style_embeddings, _to_array
 
@@ -104,6 +107,10 @@ def run_3dgs_rendering(
     scene = Scene(cfg_args["source_path"],
                   white_background=cfg_args.get("white_background", False),
                   shuffle=False)
+    # Size the macro candidate lists to this scene's measured per-block
+    # demand — a fixed 1024 truncates dense trained scenes into
+    # screen-aligned rectangles (bathtub_0121 peaks at ~2.6k).
+    macro_kc = fit_macro_capacity(state, scene.getTrainCameras())
     bg = jnp.asarray([1.0, 1.0, 1.0] if cfg_args.get("white_background") else [0.0, 0.0, 0.0])
 
     style_f = None
@@ -117,7 +124,7 @@ def run_3dgs_rendering(
     for i, cam in enumerate(scene.getTrainCameras()):
         settings = RasterSettings(
             image_height=cam.image_height, image_width=cam.image_width,
-            max_per_tile=max_per_tile,
+            max_per_tile=max_per_tile, macro_capacity=macro_kc,
         )
         out = render(cam, state, field, bg, style_f=style_f, mode="inference",
                      settings=settings, renderer=renderer)

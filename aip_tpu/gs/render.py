@@ -42,6 +42,63 @@ def make_settings(camera, max_per_tile: int = 128, chunk: int = 4096) -> RasterS
     )
 
 
+def fit_macro_capacity(state: G.GaussianState, cams, macro: int = 4,
+                       sample: int = 8, margin: float = 1.15,
+                       lo: int = 1024, hi: int = 4096) -> int:
+    """Size the macro-block candidate capacity to the scene's measured demand.
+
+    The macro selection keeps only ``macro_capacity`` front-most splats per
+    (macro*16)px block; when per-block demand exceeds it, the rearmost
+    splats vanish as screen-aligned rectangles (the CUDA rasterizer's
+    per-tile lists are unbounded, reference
+    diff-gaussian-rasterization/forward.cu duplicate keys). This host-side
+    pre-pass projects the scene for ``sample`` evenly-spaced cameras,
+    counts bounding-rect overlaps per block with a summed-area table, and
+    returns max demand * margin rounded up to a multiple of 64 (the MXU
+    composite group), clamped to [lo, hi]. One value per scene — the
+    compiled program stays static across cameras.
+    """
+    import numpy as np
+
+    from aip_tpu.gs.rasterizer import TILE, project_gaussians
+
+    cams = list(cams)
+    if not cams:
+        return lo
+    step = max(1, len(cams) // sample)
+    scales = jnp.exp(state.scaling)
+    opac = jax.nn.sigmoid(state.opacity)[:, 0]
+    bs = macro * TILE
+    worst = 0
+    for cam in cams[::step]:
+        s = RasterSettings(image_height=cam.image_height,
+                           image_width=cam.image_width)
+        mean2d, _depths, _conics, radii, valid = project_gaussians(
+            state.xyz, scales, state.rotation,
+            jnp.asarray(cam.world_view_transform, jnp.float32),
+            jnp.asarray(cam.full_proj_transform, jnp.float32),
+            math.tan(cam.FoVx * 0.5), math.tan(cam.FoVy * 0.5), s)
+        v = (np.asarray(valid & state.active & (opac > 1.0 / 255.0))
+             & (np.asarray(radii) > 0))
+        mx = np.asarray(mean2d[:, 0])[v]
+        my = np.asarray(mean2d[:, 1])[v]
+        r = np.asarray(radii)[v]
+        th = -(-s.image_height // bs)
+        tw = -(-s.image_width // bs)
+        x0 = np.clip(np.floor((mx - r) / bs).astype(int), 0, tw - 1)
+        x1 = np.clip(np.floor((mx + r) / bs).astype(int), 0, tw - 1)
+        y0 = np.clip(np.floor((my - r) / bs).astype(int), 0, th - 1)
+        y1 = np.clip(np.floor((my + r) / bs).astype(int), 0, th - 1)
+        d = np.zeros((th + 1, tw + 1), np.int64)
+        np.add.at(d, (y0, x0), 1)
+        np.add.at(d, (y0, x1 + 1), -1)
+        np.add.at(d, (y1 + 1, x0), -1)
+        np.add.at(d, (y1 + 1, x1 + 1), 1)
+        worst = max(worst, int(d.cumsum(0).cumsum(1)[:th, :tw].max()))
+    cap = -(-int(worst * margin) // 64) * 64
+    return max(lo, min(hi, cap))
+
+
 def _sh_colors(sh: jax.Array, xyz: jax.Array, campos: jax.Array) -> jax.Array:
     """View-dependent RGB from per-gaussian deg-3 SH (CUDA computeColor
     parity: normalize dir, eval, +0.5, clamp at 0)."""
@@ -127,8 +184,11 @@ def render(
         from aip_tpu.gs.rasterizer import rasterize_matmul
 
         if settings.macro <= 1:
-            settings = settings._replace(macro=4, macro_capacity=1024,
-                                         composite_backend="mxu")
+            # Keep a caller-fitted macro_capacity (fit_macro_capacity);
+            # only the hierarchy level and backend are forced here.
+            settings = settings._replace(
+                macro=4, macro_capacity=max(settings.macro_capacity, 1024),
+                composite_backend="mxu")
         img, radii = rasterize_matmul(
             xyz, scales, rotations, opacity, colors, vm, pm,
             jnp.asarray(bg_color, jnp.float32), settings,

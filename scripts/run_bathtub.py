@@ -26,6 +26,8 @@ def main():
     p.add_argument("--iterations", type=int, default=15000)
     p.add_argument("--freeze_iters", type=int, default=7000)
     p.add_argument("--start_checkpoint", default=None)
+    p.add_argument("--max_per_tile", type=int, default=128)
+    p.add_argument("--macro_capacity", type=int, default=1024)
     args = p.parse_args()
 
     from aip_tpu.gs.pipeline import run_3dgs_training, run_3dgs_rendering
@@ -41,6 +43,8 @@ def main():
         test_iterations=(1000, args.freeze_iters - 1,
                          args.freeze_iters + 1000, args.iterations),
         start_checkpoint=args.start_checkpoint,
+        max_per_tile=args.max_per_tile,
+        macro_capacity=args.macro_capacity,
     )
     t_train = time.time() - t0
     print(f"TRAIN done in {t_train/60:.1f} min -> {model}", flush=True)

@@ -400,3 +400,34 @@ def test_mxu_composite_matches_matmul(rng):
                                interpret=True)
     img = img[:96, :128]
     np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=2e-4)
+
+
+def test_fit_macro_capacity(rng):
+    """Capacity fitting: sparse scenes keep the floor; a dense cluster in
+    one macro block raises capacity to measured demand * margin (multiple
+    of 64); hi clamps."""
+    from aip_tpu.gs import gaussians as G
+    from aip_tpu.gs.render import fit_macro_capacity
+
+    cam = _camera(w=256, h=256)
+
+    # Sparse: 50 points spread out -> demand well under the floor.
+    pts = jnp.asarray((rng.random((50, 3)) * 2 - 1).astype(np.float32))
+    cols = jnp.asarray(rng.random((50, 3)).astype(np.float32))
+    state, _ = G.create_from_pcd(pts, cols, capacity=64)
+    assert fit_macro_capacity(state, [cam]) == 1024
+
+    # Dense: 1800 points inside one tiny region -> one macro block sees
+    # ~all of them; cap = ceil(demand * 1.15 / 64) * 64 >= 1800.
+    n = 1800
+    pts = jnp.asarray((rng.random((n, 3)) * 0.01).astype(np.float32))
+    cols = jnp.asarray(rng.random((n, 3)).astype(np.float32))
+    state, _ = G.create_from_pcd(pts, cols, capacity=2048)
+    cap = fit_macro_capacity(state, [cam])
+    assert cap % 64 == 0
+    assert n <= cap <= int(n * 1.15) + 64
+
+    # hi clamp.
+    assert fit_macro_capacity(state, [cam], hi=1280) == 1280
+    # No cameras -> floor.
+    assert fit_macro_capacity(state, []) == 1024
