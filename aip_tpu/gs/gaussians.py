@@ -262,3 +262,36 @@ def reset_stats(state: GaussianState) -> GaussianState:
         xyz_grad_accum=jnp.zeros((c, 1)),
         denom=jnp.zeros((c, 1)),
     )
+
+
+def recompact_order(state: GaussianState) -> jax.Array:
+    """Stable permutation that packs active slots to the front."""
+    return jnp.argsort(~state.active, stable=True)
+
+
+def shrink_tree(tree, order: jax.Array, new_capacity: int):
+    """Permute-and-slice every [C, ...] leaf of a pytree to
+    ``new_capacity`` rows (leaves whose leading dim differs pass through
+    — e.g. optimizer step counts). Apply the SAME order to the trainer
+    state and its Adam moments so slots stay aligned."""
+    c = order.shape[0]
+
+    def fix(leaf):
+        if isinstance(leaf, jax.Array) and leaf.ndim >= 1 and leaf.shape[0] == c:
+            return leaf[order][:new_capacity]
+        return leaf
+
+    return jax.tree.map(fix, tree)
+
+
+def capacity_bucket(n_active: int, floor: int = 8192, headroom: int = 2) -> int:
+    """Power-of-2 capacity for ``n_active`` splats with densification
+    headroom. TPU-first redesign of the reference's dynamically-growing
+    tensors (`gaussian_model.py:449-578` cat/prune reallocates every
+    call): XLA wants static shapes, so live counts map onto pow-2 buckets
+    and jit retraces once per bucket. Shrinking after prune events removes
+    dead colorfield + rasterizer work — the dominant per-step cost scales
+    with capacity, and real scenes spend >90% of the schedule far below
+    their initial point count."""
+    need = max(int(n_active) * headroom, floor)
+    return 1 << (need - 1).bit_length()

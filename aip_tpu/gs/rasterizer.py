@@ -576,9 +576,13 @@ def rasterize(
     )
     if screenspace_offset is not None:
         mean2d = mean2d + screenspace_offset
+    # Invisible splats (pruned/inactive slots arrive with opacity 0) must
+    # not occupy candidate capacity — the CUDA rasterizer's per-tile lists
+    # are unbounded so it never has to filter these; ours are capped.
+    valid_sel = valid & (jax.lax.stop_gradient(opacities) > (1.0 / 255.0))
     sel_idx, sel_depth = _select(
         mean2d, jax.lax.stop_gradient(depths), jax.lax.stop_gradient(radii),
-        valid, settings,
+        valid_sel, settings,
     )
     if settings.ad_backend == "pallas":
         from aip_tpu.ops.pallas.composite_ad import composite_tiles_ad
@@ -789,6 +793,9 @@ def rasterize_matmul(
     m = settings.macro
     mth = math.ceil(th / m)
     mtw = math.ceil(tw / m)
+    # Zero-opacity splats composite to nothing but would eat capped
+    # candidate slots; filter them out of the binning.
+    valid = valid & (opacities > (1.0 / 255.0))
     macro_idx, _ = _macro_select(mean2d, depths, radii, valid, settings,
                                  mth, mtw)
     if settings.composite_backend == "mxu":
@@ -840,6 +847,7 @@ def rasterize_fused(
     m = settings.macro
     mth = math.ceil(th / m)
     mtw = math.ceil(tw / m)
+    valid = valid & (opacities > (1.0 / 255.0))
     macro_idx, _ = _macro_select(mean2d, depths, radii, valid, settings,
                                  mth, mtw)
     mvalid = macro_idx >= 0

@@ -78,6 +78,12 @@ class GSTrainConfig:
     macro: int = 4
     macro_capacity: int = 1024
     white_background: bool = False
+    # Capacity-bucket recompaction (TPU-first; see G.capacity_bucket):
+    # after prune events the live set is packed to the front and every
+    # [C, ...] buffer shrinks to the next pow-2 bucket, so colorfield and
+    # rasterizer work track the live count instead of the initial cloud.
+    # Set floor=0 to disable (fixed capacity for the whole run).
+    recompact_floor: int = 8192
 
 
 class CameraArrays(NamedTuple):
@@ -238,10 +244,16 @@ def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
         gt = camera.image
         ll1 = l1_loss(img, gt)
         if phase == "photometric":
+            # Mask regularizer over LIVE slots only (the reference's tensor
+            # has no dead rows, train.py:199-205) — also keeps the term
+            # invariant under capacity-bucket recompaction.
+            act = gstate.active[:, None]
+            mask_reg = (jnp.sum(jax.nn.sigmoid(gstate.mask) * act)
+                        / jnp.maximum(jnp.sum(act), 1))
             loss = (
                 (1.0 - cfg.lambda_dssim) * ll1
                 + cfg.lambda_dssim * (1.0 - ssim(img[None], gt[None]))
-                + cfg.lambda_mask * jnp.mean(jax.nn.sigmoid(gstate.mask))
+                + cfg.lambda_mask * mask_reg
             )
         else:
             loss = ll1  # gt here is the stylized guide
@@ -262,10 +274,11 @@ def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
     @jax.jit
     def step(trainer: TrainerState, camera: CameraArrays, style_f, bg):
         gparams = _gparams(trainer.gstate)
+        cap = trainer.gstate.capacity  # runtime bucket, not cfg.capacity
         if n_views == 1:
-            offs = jnp.zeros((cfg.capacity, 2))
+            offs = jnp.zeros((cap, 2))
         else:
-            offs = jnp.zeros((n_views, cfg.capacity, 2))
+            offs = jnp.zeros((n_views, cap, 2))
         (loss, (ll1, radii)), grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 6), has_aux=True)(
             gparams, trainer.field, trainer.gstate, camera, style_f, bg, offs,
             trainer.rvq_scale, trainer.rvq_rot,
@@ -527,6 +540,22 @@ def train(
         else:
             if it % cfg.mask_prune_iter == 0:
                 trainer = trainer._replace(gstate=G.mask_prune(trainer.gstate))
+
+        # Capacity-bucket shrink after prune events: pack live slots to the
+        # front and drop dead rows from state + Adam moments. jit retraces
+        # once per bucket (<= log2(C/floor) times a run); each retrace is
+        # amortized over thousands of proportionally cheaper steps.
+        if cfg.recompact_floor and it % cfg.densification_interval == 0:
+            n = int(trainer.gstate.n_active)
+            bucket = G.capacity_bucket(n, floor=cfg.recompact_floor)
+            if bucket < trainer.gstate.capacity:
+                order = G.recompact_order(trainer.gstate)
+                trainer = trainer._replace(
+                    gstate=G.shrink_tree(trainer.gstate, order, bucket),
+                    opt_g=G.shrink_tree(trainer.opt_g, order, bucket),
+                )
+                if progress_every:
+                    print(f"iter {it}: recompact {n} live -> capacity {bucket}")
 
         if progress_every and it % progress_every == 0:
             print(f"iter {it}: loss={float(metrics['loss']):.5f} "

@@ -386,3 +386,77 @@ def test_multichip_gs_step_matches_single_device(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(t_multi.field.mlp_w1),
                                np.asarray(t_single.field.mlp_w1),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_recompact_step_equivalence(tmp_path, rng, monkeypatch):
+    """A train step on the capacity-shrunk state produces the same loss and
+    the same updated live parameters as on the original buffers — dead
+    slots contribute nothing, so dropping them is free."""
+    from aip_tpu.models import weights as weights_mod
+    from aip_tpu.gs import gaussians as G
+
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+    scene = _make_scene(tmp_path, rng)
+    cfg = _tiny_cfg(style_dim=0, capacity=256)
+    pcd = scene.point_cloud
+    trainer = init_trainer(cfg, pcd.points[:200], pcd.colors[:200],
+                           scene.cameras_extent)
+    cam = scene.getTrainCameras()[0]
+    step = make_train_step(cfg, scene.cameras_extent, "photometric",
+                           cam.image_height, cam.image_width)
+    arrays = camera_to_arrays(cam)
+    bg = jnp.zeros(3)
+
+    # Warm up a few steps, then deactivate half the slots (as a prune would).
+    for _ in range(3):
+        trainer, _ = step(trainer, arrays, None, bg)
+    kill = np.zeros(256, bool)
+    kill[np.asarray(rng.permutation(200)[:170])] = True
+    gstate = trainer.gstate._replace(
+        active=trainer.gstate.active & jnp.asarray(~kill))
+    trainer = trainer._replace(gstate=gstate)
+    n = int(trainer.gstate.n_active)
+
+    bucket = G.capacity_bucket(n, floor=32)
+    assert bucket < 256
+    order = G.recompact_order(trainer.gstate)
+    small = trainer._replace(
+        gstate=G.shrink_tree(trainer.gstate, order, bucket),
+        opt_g=G.shrink_tree(trainer.opt_g, order, bucket),
+    )
+    assert small.gstate.capacity == bucket
+    assert int(small.gstate.n_active) == n
+    # Live slots land in the first n rows.
+    assert bool(jnp.all(small.gstate.active[:n]))
+
+    big2, m_big = step(trainer, arrays, None, bg)
+    small2, m_small = step(small, arrays, None, bg)
+    np.testing.assert_allclose(float(m_small["loss"]), float(m_big["loss"]),
+                               rtol=1e-6)
+    # Updated live params match slot-for-slot under the packing order.
+    ord_np = np.asarray(order)[:bucket]
+    for name in ("xyz", "scaling", "rotation", "opacity", "mask"):
+        a = np.asarray(getattr(big2.gstate, name))[ord_np][:n]
+        b = np.asarray(getattr(small2.gstate, name))[:n]
+        # atol 2e-5: 1-ulp gradient differences (reduction order shifts
+        # with buffer size) get amplified by Adam's 1/sqrt(nu) rescale.
+        np.testing.assert_allclose(b, a, atol=2e-5, err_msg=name)
+
+
+def test_recompact_in_training_loop(tmp_path, rng, monkeypatch, style_img):
+    """The loop shrinks capacity when the live count drops and still
+    completes both phases."""
+    from aip_tpu.models import weights as weights_mod
+
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+    scene = _make_scene(tmp_path, rng)
+    # 60 live of 256 capacity -> the first interval check shrinks to 128.
+    scene.scene_info.point_cloud.points = scene.scene_info.point_cloud.points[:60]
+    scene.scene_info.point_cloud.colors = scene.scene_info.point_cloud.colors[:60]
+
+    cfg = _tiny_cfg(recompact_floor=32, densify_until_iter=0)
+    trainer, _ = train(scene, style_img, cfg, img_size=32,
+                       guide_dir=str(tmp_path / "guides"))
+    assert trainer.gstate.capacity == 128
+    assert int(trainer.gstate.n_active) > 0
+    assert np.isfinite(np.asarray(trainer.gstate.xyz)).all()
