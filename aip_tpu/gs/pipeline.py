@@ -44,6 +44,7 @@ def run_3dgs_training(
     logger=None,
     max_per_tile: int = 128,
     macro_capacity: int = 1024,
+    views_per_step: int = 1,
 ) -> str:
     """Train a stylized 3DGS scene; saves a compressed model. Returns
     model_path."""
@@ -65,6 +66,7 @@ def run_3dgs_training(
         start_checkpoint=start_checkpoint,
         checkpoint_dir=str(Path(model_path) / "checkpoints"),
         logger=logger,
+        views_per_step=views_per_step,
     )
 
     out = Path(model_path)

@@ -122,12 +122,17 @@ def expon_lr(step, lr_init, lr_final, lr_delay_mult, max_steps, delay_steps=0):
     return log_lerp
 
 
-def make_gaussian_optimizer(cfg: GSTrainConfig, spatial_lr_scale: float):
-    """Per-group Adam, eps=1e-15, xyz on the log-lerp schedule."""
+def make_gaussian_optimizer(cfg: GSTrainConfig, spatial_lr_scale: float,
+                            iter_scale: int = 1):
+    """Per-group Adam, eps=1e-15, xyz on the log-lerp schedule.
+
+    ``iter_scale``: reference iterations represented by one optimizer
+    update (= views_per_step), so schedules stay in the reference's
+    iteration domain when views are batched."""
 
     def xyz_schedule(step):
         return expon_lr(
-            step,
+            step * iter_scale,
             cfg.position_lr_init * spatial_lr_scale,
             cfg.position_lr_final * spatial_lr_scale,
             cfg.position_lr_delay_mult,
@@ -150,14 +155,15 @@ def make_gaussian_optimizer(cfg: GSTrainConfig, spatial_lr_scale: float):
     )
 
 
-def make_net_optimizer(cfg: GSTrainConfig):
+def make_net_optimizer(cfg: GSTrainConfig, iter_scale: int = 1):
     """Adam with LinearLR(0.01 -> 1 over 100) * MultiStep(0.33 @ steps)."""
 
     def schedule(step):
-        warm = jnp.minimum(1.0, 0.01 + 0.99 * step / 100.0)
+        it = step * iter_scale
+        warm = jnp.minimum(1.0, 0.01 + 0.99 * it / 100.0)
         gamma = jnp.asarray(1.0)
         for m in cfg.net_lr_step:
-            gamma = gamma * jnp.where(step >= m, 0.33, 1.0)
+            gamma = gamma * jnp.where(it >= m, 0.33, 1.0)
         return cfg.net_lr * warm * gamma
 
     return optax.adam(schedule, eps=1e-15)
@@ -231,8 +237,9 @@ def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
     On a device mesh, shard the camera batch's leading axis over ``dp`` and
     XLA turns the mean into a psum (see parallel/gs.py).
     """
-    opt_gaussian = make_gaussian_optimizer(cfg, spatial_lr_scale)
-    opt_network = make_net_optimizer(cfg)
+    opt_gaussian = make_gaussian_optimizer(cfg, spatial_lr_scale,
+                                           iter_scale=views_per_step)
+    opt_network = make_net_optimizer(cfg, iter_scale=views_per_step)
     mode = "train_rvq" if use_rvq else "train"
     settings = make_settings_from_dims(height, width, cfg)
     n_views = views_per_step
@@ -306,7 +313,7 @@ def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
 
         new_trainer = trainer._replace(
             gstate=gstate, field=field, opt_g=opt_g, opt_net=opt_net,
-            step=trainer.step + 1,
+            step=trainer.step + n_views,  # step counts reference iterations
         )
         return new_trainer, {"loss": loss, "l1": ll1}
 
@@ -379,10 +386,20 @@ def train(
     test_iterations=(),
     logger=None,
     network_gui=None,
+    views_per_step: int = 1,
 ):
     """Full two-phase stylized training. Returns (TrainerState, style_f).
 
     ``scene`` is an aip_tpu.gs.dataset.Scene; ``style_image`` a path/array.
+
+    ``views_per_step`` > 1 (TPU-first; the reference is strictly one view
+    per iteration) consumes B views per optimizer step: one step covers B
+    reference iterations — the per-Gaussian colorfield fwd+bwd, the
+    dominant cost, runs once for the batch (see make_train_step). LR
+    schedules and all iteration-indexed events stay in the reference's
+    iteration domain; the optimizer applies 1/B as many Adam updates on
+    B-view mean gradients (standard batching trade). Requires all train
+    cameras at one resolution and iterations aligned to B.
     """
     from aip_tpu.pipelines.adain_infer import (
         adain_inference, get_style_embeddings, _to_array,
@@ -438,7 +455,8 @@ def train(
         if key_ not in step_cache:
             step_cache[key_] = make_train_step(
                 cfg, scene.cameras_extent, phase, cam.image_height,
-                cam.image_width, use_rvq=use_rvq)
+                cam.image_width, use_rvq=use_rvq,
+                views_per_step=views_per_step)
         return step_cache[key_]
 
     # Quantization-aware fine-tune boundary: the reference runs the final
@@ -451,9 +469,30 @@ def train(
     guide_arrays = [camera_to_arrays(c, image=np.asarray(guides[c.image_name]))
                     for c in cams]
 
+    B = views_per_step
+    if B > 1:
+        if len({(c.image_height, c.image_width) for c in cams}) != 1:
+            raise ValueError(
+                "views_per_step > 1 requires all train cameras at one "
+                "resolution (one compiled step)")
+        if first_iter % B or (cfg.iterations - first_iter) % B:
+            raise ValueError(
+                f"iterations ({cfg.iterations}) and resume point "
+                f"({first_iter}) must be multiples of views_per_step ({B})")
+
     stack = []
     key = jax.random.PRNGKey(seed)
-    for it in range(first_iter + 1, cfg.iterations + 1):
+    # One pass of this loop covers reference iterations (it-B, it]. With
+    # B == 1 every guard below reduces exactly to the per-iteration
+    # original (mod_fire(m) == (it % m == 0), crossed(x) == (it == x)).
+    for it in range(first_iter + B, cfg.iterations + 1, B):
+        prev = it - B
+
+        def crossed(x):
+            return prev < x <= it
+
+        def mod_fire(m):
+            return it // m > prev // m
         # Remote-viewer poll (train.py:125-156 parity): serve a frame to a
         # connected SIBR viewer each iteration.
         if network_gui is not None:
@@ -481,13 +520,16 @@ def train(
                         network_gui.disconnect()
                 except Exception:
                     network_gui.disconnect()
-        if not stack:
-            stack = list(rng.permutation(len(cams)))
-        ci = stack.pop()
+        cis = []
+        for _ in range(B):
+            if not stack:
+                stack = list(rng.permutation(len(cams)))
+            cis.append(stack.pop())
+        ci = cis[0]
 
         # Seed RVQ codebooks at the QAT boundary (final_prune's k-means init
         # moved up so the remaining iterations train through quantization).
-        if it == rvq_start + 1 and trainer.rvq_scale is None:
+        if crossed(rvq_start + 1) and trainer.rvq_scale is None:
             key, k1, k2 = jax.random.split(key, 3)
             active_np = np.asarray(trainer.gstate.active)
             scales_a = G.get_scaling(trainer.gstate)[active_np]
@@ -498,12 +540,14 @@ def train(
             )
         use_rvq = it > rvq_start and trainer.rvq_scale is not None
 
-        if it < cfg.freeze_iters:
-            trainer, metrics = get_step("photometric", cams[ci], use_rvq)(
-                trainer, cam_arrays[ci], style_f, bg)
-        else:
-            trainer, metrics = get_step("style", cams[ci], use_rvq)(
-                trainer, guide_arrays[ci], style_f, bg)
+        # Phase of the window's FIRST iteration (train.py:199-208; a window
+        # straddling freeze_iters shifts the boundary by < B iterations).
+        phase = "photometric" if prev + 1 < cfg.freeze_iters else "style"
+        arrays = cam_arrays if phase == "photometric" else guide_arrays
+        batch = (arrays[ci] if B == 1
+                 else stack_cameras([arrays[c] for c in cis]))
+        trainer, metrics = get_step(phase, cams[ci], use_rvq)(
+            trainer, batch, style_f, bg)
 
         if use_rvq:
             # Learnable-codebook stand-in: one masked means step per iter
@@ -518,7 +562,7 @@ def train(
 
         # Densification schedule (train.py:264-293).
         if it < cfg.densify_until_iter:
-            if it > cfg.densify_from_iter and it % cfg.densification_interval == 0:
+            if it > cfg.densify_from_iter and mod_fire(cfg.densification_interval):
                 # Capture grads before cloning: appends reset the accumulators.
                 grads = G.avg_densify_grads(trainer.gstate)
                 gstate, slots_c = G.densify_and_clone(
@@ -533,19 +577,19 @@ def train(
                 gstate = G.reset_stats(gstate)
                 opt_g = zero_moment_slots(trainer.opt_g, slots_c | slots_s)
                 trainer = trainer._replace(gstate=gstate, opt_g=opt_g)
-            if it % cfg.opacity_reset_interval == 0 or (
-                cfg.white_background and it == cfg.densify_from_iter
+            if mod_fire(cfg.opacity_reset_interval) or (
+                cfg.white_background and crossed(cfg.densify_from_iter)
             ):
                 trainer = trainer._replace(gstate=G.reset_opacity(trainer.gstate))
         else:
-            if it % cfg.mask_prune_iter == 0:
+            if mod_fire(cfg.mask_prune_iter):
                 trainer = trainer._replace(gstate=G.mask_prune(trainer.gstate))
 
         # Capacity-bucket shrink after prune events: pack live slots to the
         # front and drop dead rows from state + Adam moments. jit retraces
         # once per bucket (<= log2(C/floor) times a run); each retrace is
         # amortized over thousands of proportionally cheaper steps.
-        if cfg.recompact_floor and it % cfg.densification_interval == 0:
+        if cfg.recompact_floor and mod_fire(cfg.densification_interval):
             n = int(trainer.gstate.n_active)
             bucket = G.capacity_bucket(n, floor=cfg.recompact_floor)
             if bucket < trainer.gstate.capacity:
@@ -557,16 +601,16 @@ def train(
                 if progress_every:
                     print(f"iter {it}: recompact {n} live -> capacity {bucket}")
 
-        if progress_every and it % progress_every == 0:
+        if progress_every and mod_fire(progress_every):
             print(f"iter {it}: loss={float(metrics['loss']):.5f} "
                   f"n={int(trainer.gstate.n_active)}")
-        if logger is not None and it % 10 == 0:
+        if logger is not None and mod_fire(10):
             logger.scalar("train/loss", float(metrics["loss"]), it)
             logger.scalar("train/l1", float(metrics["l1"]), it)
             logger.scalar("train/n_gaussians", int(trainer.gstate.n_active), it)
 
         # Test-iteration report (training_report parity, train.py:333-415).
-        if it in set(test_iterations):
+        if any(crossed(x) for x in test_iterations):
             from aip_tpu.ops.metrics import psnr
 
             mode_ = "train"
@@ -585,7 +629,7 @@ def train(
             if progress_every:
                 print(f"[ITER {it}] eval: L1 {np.mean(l1s):.4f} PSNR {np.mean(psnrs):.2f}")
 
-        if it in set(checkpoint_iterations):
+        if any(crossed(x) for x in checkpoint_iterations):
             from aip_tpu.gs.checkpoint import save_checkpoint
 
             ckpt_dir = Path(checkpoint_dir or (Path(guide_out) / "checkpoints"))

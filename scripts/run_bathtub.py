@@ -28,6 +28,7 @@ def main():
     p.add_argument("--start_checkpoint", default=None)
     p.add_argument("--max_per_tile", type=int, default=128)
     p.add_argument("--macro_capacity", type=int, default=1024)
+    p.add_argument("--views_per_step", type=int, default=1)
     args = p.parse_args()
 
     from aip_tpu.gs.pipeline import run_3dgs_training, run_3dgs_rendering
@@ -45,6 +46,7 @@ def main():
         start_checkpoint=args.start_checkpoint,
         max_per_tile=args.max_per_tile,
         macro_capacity=args.macro_capacity,
+        views_per_step=args.views_per_step,
     )
     t_train = time.time() - t0
     print(f"TRAIN done in {t_train/60:.1f} min -> {model}", flush=True)

@@ -460,3 +460,30 @@ def test_recompact_in_training_loop(tmp_path, rng, monkeypatch, style_img):
     assert trainer.gstate.capacity == 128
     assert int(trainer.gstate.n_active) > 0
     assert np.isfinite(np.asarray(trainer.gstate.xyz)).all()
+
+
+def test_views_per_step_loop(tmp_path, rng, monkeypatch, style_img):
+    """The windowed loop (B=2) completes both phases, fires the
+    iteration-domain events, and reaches a comparable loss to B=1."""
+    from aip_tpu.models import weights as weights_mod
+
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+    scene = _make_scene(tmp_path, rng)
+    scene.scene_info.point_cloud.points = scene.scene_info.point_cloud.points[:100]
+    scene.scene_info.point_cloud.colors = scene.scene_info.point_cloud.colors[:100]
+
+    cfg = _tiny_cfg()
+    trainer, _ = train(scene, style_img, cfg, img_size=32,
+                       guide_dir=str(tmp_path / "guides"), views_per_step=2)
+    # 24 iterations = 12 optimizer steps; step counter stays in iterations.
+    assert int(trainer.step) == cfg.iterations
+    assert trainer.rvq_scale is not None  # QAT boundary crossed
+    assert int(trainer.gstate.n_active) > 0
+    assert np.isfinite(np.asarray(trainer.gstate.xyz)).all()
+
+    # Misaligned iterations / mixed resolutions are rejected.
+    import pytest as _pytest
+    bad = _tiny_cfg(iterations=23)
+    with _pytest.raises(ValueError):
+        train(scene, style_img, bad, img_size=32,
+              guide_dir=str(tmp_path / "g2"), views_per_step=2)
