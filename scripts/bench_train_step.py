@@ -21,6 +21,7 @@ def main():
     parser.add_argument("--log2", type=int, default=19)
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--phase", default="photometric")
+    parser.add_argument("--views_per_step", type=int, default=1)
     args = parser.parse_args()
 
     import jax
@@ -72,7 +73,24 @@ def main():
         return out
 
     # 1. full train step
-    step = make_train_step(cfg, 3.0, args.phase, res, res)
+    B = args.views_per_step
+    step = make_train_step(cfg, 3.0, args.phase, res, res, views_per_step=B)
+    if B > 1:
+        from aip_tpu.gs.train import stack_cameras
+
+        step_arrays = stack_cameras([arrays] * B)
+        t0 = time.time()
+        trainer2, _ = step(trainer, step_arrays, style_f, bg)
+        sync(jax.tree.leaves(trainer2)[0])
+        print(f"(compile {time.time()-t0:.0f}s)")
+        t0 = time.time()
+        for _ in range(args.iters):
+            trainer2, _ = step(trainer, step_arrays, style_f, bg)
+        sync(jax.tree.leaves(trainer2)[0])
+        dt = (time.time() - t0) / args.iters * 1000
+        print(f"full step B={B:2d}             : {dt:8.1f} ms "
+              f"= {dt / B:6.1f} ms / reference iteration")
+        return
     trainer, _ = bench("full step", step, trainer, arrays, style_f, bg)
 
     # 2. render fwd+bwd only (loss grad wrt gaussian params, no optimizers)
