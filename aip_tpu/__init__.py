@@ -18,3 +18,33 @@ cli        command-line entry points mirroring the reference's CLI surface
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (opt-out: AIP_TPU_NO_COMPILE_CACHE).
+
+    Every pipeline is a handful of large jitted programs; cold-starting a
+    CLI or GUI process pays tens of seconds of recompiles for graphs that
+    never change. Caching compiled executables on disk makes every process
+    after the first warm-start (the real-video driver spends most of its
+    cold 4 minutes in compiles). Serving-oriented default; failures (e.g.
+    read-only home) silently fall back to in-memory-only behavior.
+    """
+    import os
+
+    if os.environ.get("AIP_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "AIP_TPU_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "aip_tpu", "xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()

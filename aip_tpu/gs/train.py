@@ -241,12 +241,15 @@ def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
                                            iter_scale=views_per_step)
     opt_network = make_net_optimizer(cfg, iter_scale=views_per_step)
     mode = "train_rvq" if use_rvq else "train"
-    settings = make_settings_from_dims(height, width, cfg)
+    settings = make_settings_from_dims(height, width, cfg,
+                                       views=views_per_step)
     n_views = views_per_step
 
-    def view_loss(gstate, field, camera, style_f, bg, offs, rvq_s, rvq_r):
+    def view_loss(gstate, field, camera, style_f, bg, offs, rvq_s, rvq_r,
+                  sh=None):
         out = render_from_arrays(camera, gstate, field, bg, style_f, mode,
-                                 rvq_s, rvq_r, settings, offs)
+                                 rvq_s, rvq_r, settings, offs,
+                                 sh_override=sh)
         img = out.render
         gt = camera.image
         ll1 = l1_loss(img, gt)
@@ -272,10 +275,27 @@ def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
             loss, ll1, radii = view_loss(gstate, field, camera, style_f, bg,
                                          offs, rvq_s, rvq_r)
             return loss, (ll1, radii)
-        cam_axes = CameraArrays(0, 0, 0, 0, None, None, 0, 0)
-        losses, ll1s, radii = jax.vmap(
-            view_loss, in_axes=(None, None, cam_axes, None, None, 0, None, None)
-        )(gstate, field, camera, style_f, bg, offs, rvq_s, rvq_r)
+        # Batched path: the view-invariant colorfield (hashgrid + MLP -> SH,
+        # the dominant cost) runs ONCE for the batch; views then render
+        # serially under lax.scan so composite intermediates stay per-view.
+        # (A vmap here materializes all B views' [tiles, K, 256] composite
+        # buffers simultaneously — OOM at 800^2 x B=4 on a 16G chip.)
+        from aip_tpu.gs.colorfield import predict_sh
+
+        sh = predict_sh(field, gstate.xyz, style_f)
+
+        def body(_, i):
+            cam_i = CameraArrays(
+                world_view=camera.world_view[i], full_proj=camera.full_proj[i],
+                campos=camera.campos[i], image=camera.image[i],
+                height=camera.height, width=camera.width,
+                tanfovx=camera.tanfovx[i], tanfovy=camera.tanfovy[i])
+            loss, ll1, radii = view_loss(gstate, field, cam_i, None, bg,
+                                         offs[i], rvq_s, rvq_r, sh=sh)
+            return None, (loss, ll1, radii)
+
+        _, (losses, ll1s, radii) = jax.lax.scan(body, None,
+                                                jnp.arange(n_views))
         return jnp.mean(losses), (jnp.mean(ll1s), radii)
 
     @jax.jit
@@ -320,14 +340,17 @@ def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
     return step
 
 
-def make_settings_from_dims(height: int, width: int, cfg: GSTrainConfig):
+def make_settings_from_dims(height: int, width: int, cfg: GSTrainConfig,
+                            views: int = 1):
     from aip_tpu.gs.rasterizer import RasterSettings
 
     macro = cfg.macro if height * width >= cfg.macro_above_pixels else 1
-    # Remat only when the [tiles, K, 256] autodiff intermediates would be
-    # large (>~0.5 GB); below that, storing them is faster than recompute.
+    # Remat only when the [views, tiles, K, 256] autodiff intermediates
+    # would be large (>~0.5 GB); below that, storing them is faster than
+    # recompute. ``views`` is the vmapped view batch (views_per_step) —
+    # the batch multiplies every composite intermediate.
     n_tiles = ((height + 15) // 16) * ((width + 15) // 16)
-    remat = n_tiles * cfg.max_per_tile * 256 * 4 > (1 << 29)
+    remat = views * n_tiles * cfg.max_per_tile * 256 * 4 > (1 << 29)
     return RasterSettings(
         image_height=height, image_width=width,
         max_per_tile=cfg.max_per_tile, chunk=cfg.raster_chunk,
@@ -337,7 +360,8 @@ def make_settings_from_dims(height: int, width: int, cfg: GSTrainConfig):
 
 
 def render_from_arrays(camera: CameraArrays, gstate, field, bg, style_f, mode,
-                       rvq_s, rvq_r, settings, screenspace_offset=None):
+                       rvq_s, rvq_r, settings, screenspace_offset=None,
+                       sh_override=None):
     """render() over a CameraArrays bundle (avoids host Camera objects in jit)."""
 
     class _Cam:
@@ -352,7 +376,8 @@ def render_from_arrays(camera: CameraArrays, gstate, field, bg, style_f, mode,
     return render(_Cam, gstate, field, bg, style_f=style_f, mode=mode,
                   rvq_scale=rvq_s, rvq_rot=rvq_r, settings=settings,
                   screenspace_offset=screenspace_offset,
-                  tanfovx=camera.tanfovx, tanfovy=camera.tanfovy)
+                  tanfovx=camera.tanfovx, tanfovy=camera.tanfovy,
+                  sh_override=sh_override)
 
 
 def zero_moment_slots(opt_state, slot_mask: jax.Array):
