@@ -219,7 +219,7 @@ def stack_cameras(cams: list) -> CameraArrays:
 
 def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
                     phase: str, height: int, width: int, use_rvq: bool = False,
-                    views_per_step: int = 1):
+                    views_per_step: int = 1, view_chunk: int | None = None):
     """Build the jitted step for 'photometric' or 'style' phase at a fixed
     image resolution (one compiled program per resolution).
 
@@ -241,9 +241,17 @@ def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
                                            iter_scale=views_per_step)
     opt_network = make_net_optimizer(cfg, iter_scale=views_per_step)
     mode = "train_rvq" if use_rvq else "train"
+    n_views = views_per_step
+    # Views per vmapped chunk: bound the live composite buffers to ~1 GB
+    # (the [vchunk, tiles, K, 256] autodiff intermediates; ~4 such tensors
+    # are alive under grad). Chunks beyond the first run under lax.scan.
+    n_tiles = ((height + 15) // 16) * ((width + 15) // 16)
+    per_view = n_tiles * cfg.max_per_tile * 256 * 4
+    vchunk = view_chunk or n_views
+    while vchunk > 1 and (n_views % vchunk or vchunk * per_view > (1 << 30)):
+        vchunk -= 1
     settings = make_settings_from_dims(height, width, cfg,
                                        views=views_per_step)
-    n_views = views_per_step
 
     def view_loss(gstate, field, camera, style_f, bg, offs, rvq_s, rvq_r,
                   sh=None):
@@ -276,26 +284,46 @@ def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
                                          offs, rvq_s, rvq_r)
             return loss, (ll1, radii)
         # Batched path: the view-invariant colorfield (hashgrid + MLP -> SH,
-        # the dominant cost) runs ONCE for the batch; views then render
-        # serially under lax.scan so composite intermediates stay per-view.
-        # (A vmap here materializes all B views' [tiles, K, 256] composite
+        # the dominant cost) runs ONCE for the batch; views then render in
+        # memory-bounded chunks — vmap inside a chunk, lax.scan across
+        # chunks — so at most ``vchunk`` views' [tiles, K, 256] composite
+        # buffers are live at once. (A flat vmap materializes all B views'
         # buffers simultaneously — OOM at 800^2 x B=4 on a 16G chip.)
         from aip_tpu.gs.colorfield import predict_sh
 
         sh = predict_sh(field, gstate.xyz, style_f)
+        cam_axes = CameraArrays(0, 0, 0, 0, None, None, 0, 0)
 
-        def body(_, i):
-            cam_i = CameraArrays(
-                world_view=camera.world_view[i], full_proj=camera.full_proj[i],
-                campos=camera.campos[i], image=camera.image[i],
-                height=camera.height, width=camera.width,
-                tanfovx=camera.tanfovx[i], tanfovy=camera.tanfovy[i])
-            loss, ll1, radii = view_loss(gstate, field, cam_i, None, bg,
-                                         offs[i], rvq_s, rvq_r, sh=sh)
-            return None, (loss, ll1, radii)
+        def chunk_loss(camera_c, offs_c):
+            return jax.vmap(
+                view_loss,
+                in_axes=(None, None, cam_axes, None, None, 0, None, None,
+                         None),
+            )(gstate, field, camera_c, None, bg, offs_c, rvq_s, rvq_r, sh)
 
-        _, (losses, ll1s, radii) = jax.lax.scan(body, None,
-                                                jnp.arange(n_views))
+        if vchunk == n_views:
+            losses, ll1s, radii = chunk_loss(camera, offs)
+        else:
+            def resh(x):
+                return (x.reshape((n_views // vchunk, vchunk) + x.shape[1:])
+                        if isinstance(x, jax.Array) and x.ndim >= 1
+                        and x.shape[0] == n_views else x)
+
+            # Only array fields ride the scan xs (height/width are static).
+            xs = ((resh(camera.world_view), resh(camera.full_proj),
+                   resh(camera.campos), resh(camera.image),
+                   resh(camera.tanfovx), resh(camera.tanfovy)), resh(offs))
+
+            def body(_, inp):
+                (wv, fp, cp, im, tx, ty), offs_c = inp
+                camera_c = CameraArrays(wv, fp, cp, im, camera.height,
+                                        camera.width, tx, ty)
+                return None, chunk_loss(camera_c, offs_c)
+
+            _, (losses, ll1s, radii) = jax.lax.scan(body, None, xs)
+            losses = losses.reshape(-1)
+            ll1s = ll1s.reshape(-1)
+            radii = radii.reshape((n_views,) + radii.shape[2:])
         return jnp.mean(losses), (jnp.mean(ll1s), radii)
 
     @jax.jit

@@ -11,6 +11,10 @@ import os
 # NOTE: a sitecustomize may import jax before this file runs, so setting the
 # env var alone is not enough — update the live jax config too.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# No persistent compilation cache under tests: CPU AOT executables cached by
+# other processes may carry mismatched machine-feature sets (SIGILL risk),
+# and tests must not depend on cache state.
+os.environ["AIP_TPU_NO_COMPILE_CACHE"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -487,3 +487,31 @@ def test_views_per_step_loop(tmp_path, rng, monkeypatch, style_img):
     with _pytest.raises(ValueError):
         train(scene, style_img, bad, img_size=32,
               guide_dir=str(tmp_path / "g2"), views_per_step=2)
+
+
+def test_view_chunked_step_matches_flat_vmap(tmp_path, rng, monkeypatch):
+    """Chunked (scan-over-vmap) view batching computes the same step as the
+    flat vmap — losses and updated params match."""
+    from aip_tpu.models import weights as weights_mod
+    from aip_tpu.gs.train import stack_cameras
+
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+    scene = _make_scene(tmp_path, rng, n_views=4)
+    cfg = _tiny_cfg(style_dim=0)
+    pcd = scene.point_cloud
+    trainer = init_trainer(cfg, pcd.points[:150], pcd.colors[:150],
+                           scene.cameras_extent)
+    cams = scene.getTrainCameras()
+    batch = stack_cameras([camera_to_arrays(c) for c in cams] * 1)
+    bg = jnp.zeros(3)
+
+    outs = {}
+    for vchunk in (4, 2, 1):
+        step = make_train_step(cfg, scene.cameras_extent, "photometric",
+                               cams[0].image_height, cams[0].image_width,
+                               views_per_step=4, view_chunk=vchunk)
+        t2, m = step(trainer, batch, None, bg)
+        outs[vchunk] = (float(m["loss"]), np.asarray(t2.gstate.xyz))
+    for vchunk in (2, 1):
+        np.testing.assert_allclose(outs[vchunk][0], outs[4][0], rtol=1e-6)
+        np.testing.assert_allclose(outs[vchunk][1], outs[4][1], atol=2e-5)
