@@ -263,9 +263,9 @@ def test_rvq_qat_phase_trains_codebooks(tmp_path, rng, monkeypatch, style_img):
     seen = []
     orig = make_train_step
 
-    def spy(cfg_, slr, phase, h, w, use_rvq=False):
+    def spy(cfg_, slr, phase, h, w, use_rvq=False, **kw):
         seen.append(use_rvq)
-        return orig(cfg_, slr, phase, h, w, use_rvq=use_rvq)
+        return orig(cfg_, slr, phase, h, w, use_rvq=use_rvq, **kw)
 
     import aip_tpu.gs.train as train_mod
 
