@@ -34,6 +34,13 @@ def _enable_compilation_cache():
 
     if os.environ.get("AIP_TPU_NO_COMPILE_CACHE"):
         return
+    # TPU (axon) processes only: that's where compiles cost tens of
+    # seconds. CPU AOT cache entries additionally warn on load when the
+    # compiler's synthetic machine-feature flags (prefer-no-scatter/...)
+    # don't literally match the host's detected set — not worth the noise
+    # for sub-second CPU compiles.
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return
     try:
         import jax
 

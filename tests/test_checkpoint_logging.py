@@ -89,3 +89,30 @@ def test_train_with_logging_and_checkpoint(tmp_path, rng, monkeypatch):
         start_checkpoint=str(tmp_path / "ckpts" / "chkpnt6"),
     )
     assert int(trainer2.step) == 10
+
+
+def test_resume_across_recompaction(tmp_path, rng):
+    """A checkpoint saved AFTER a capacity-bucket shrink restores into a
+    template of the original (larger) capacity: orbax adopts the saved
+    shapes, and training resumes at the smaller bucket."""
+    from aip_tpu.gs.train import GSTrainConfig, init_trainer
+    from aip_tpu.gs import gaussians as G
+    from aip_tpu.gs.checkpoint import save_checkpoint, load_checkpoint
+
+    cfg = GSTrainConfig(capacity=128, style_dim=0, log2_hashmap=10,
+                        rvq_size=8, rvq_num=2, net_lr_step=(100,))
+    pts = rng.standard_normal((40, 3)).astype(np.float32)
+    trainer = init_trainer(cfg, pts, rng.random((40, 3)).astype(np.float32), 2.0)
+    order = G.recompact_order(trainer.gstate)
+    small = trainer._replace(
+        gstate=G.shrink_tree(trainer.gstate, order, 64),
+        opt_g=G.shrink_tree(trainer.opt_g, order, 64),
+        step=jnp.asarray(16, jnp.int32))
+    path = save_checkpoint(tmp_path / "ck", small)
+
+    template = init_trainer(cfg, pts, rng.random((40, 3)).astype(np.float32), 2.0)
+    restored = load_checkpoint(path, template)
+    assert restored.gstate.capacity == 64
+    assert int(restored.step) == 16
+    np.testing.assert_allclose(np.asarray(restored.gstate.xyz),
+                               np.asarray(small.gstate.xyz))
