@@ -41,6 +41,8 @@ def _enable_compilation_cache():
     # for sub-second CPU compiles.
     if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
         return
+    if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+        return  # virtual-CPU-mesh run (driver dryrun / tests), not the TPU
     try:
         import jax
 
