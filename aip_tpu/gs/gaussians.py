@@ -295,3 +295,17 @@ def capacity_bucket(n_active: int, floor: int = 8192, headroom: int = 2) -> int:
     their initial point count."""
     need = max(int(n_active) * headroom, floor)
     return 1 << (need - 1).bit_length()
+
+
+def grow_tree(tree, old_capacity: int, new_capacity: int):
+    """Pad every [C, ...] leaf with zeros up to ``new_capacity`` rows (the
+    inverse of shrink_tree; padded slots are inactive and their Adam
+    moments zero, exactly like fresh capacity)."""
+    def fix(leaf):
+        if (isinstance(leaf, jax.Array) and leaf.ndim >= 1
+                and leaf.shape[0] == old_capacity):
+            pad = [(0, new_capacity - old_capacity)] + [(0, 0)] * (leaf.ndim - 1)
+            return jnp.pad(leaf, pad)
+        return leaf
+
+    return jax.tree.map(fix, tree)

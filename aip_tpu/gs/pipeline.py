@@ -111,8 +111,13 @@ def run_3dgs_rendering(
                   shuffle=False)
     # Size the macro candidate lists to this scene's measured per-block
     # demand — a fixed 1024 truncates dense trained scenes into
-    # screen-aligned rectangles (bathtub_0121 peaks at ~2.6k).
-    macro_kc = fit_macro_capacity(state, scene.getTrainCameras())
+    # screen-aligned rectangles (bathtub_0121 peaks at ~2.6k). Only pay
+    # the pre-pass when the macro (matmul) compositor will actually run:
+    # 'auto' picks it at >= 512^2 (gs/render.py), 'xla'/'pallas' ignore it.
+    cams_all = scene.getTrainCameras()
+    uses_macro = renderer in ("auto", "matmul") and any(
+        c.image_height * c.image_width >= 512 * 512 for c in cams_all)
+    macro_kc = (fit_macro_capacity(state, cams_all) if uses_macro else 1024)
     bg = jnp.asarray([1.0, 1.0, 1.0] if cfg_args.get("white_background") else [0.0, 0.0, 0.0])
 
     style_f = None

@@ -532,6 +532,23 @@ def train(
             raise ValueError(
                 f"iterations ({cfg.iterations}) and resume point "
                 f"({first_iter}) must be multiples of views_per_step ({B})")
+    if start_checkpoint is not None:
+        # LR schedules evaluate (optimizer count * B) to stay in the
+        # reference's iteration domain; a checkpoint trained with a
+        # DIFFERENT B carries counts in its own step units, so rebase
+        # every Adam count to first_iter // B — otherwise schedules jump
+        # (e.g. B=1 -> B=4 resume would read 4x the true iteration).
+        cnt = first_iter // B
+
+        def _rebase(leaf):
+            if (isinstance(leaf, jax.Array) and leaf.ndim == 0
+                    and jnp.issubdtype(leaf.dtype, jnp.integer)):
+                return jnp.asarray(cnt, leaf.dtype)
+            return leaf
+
+        trainer = trainer._replace(
+            opt_g=jax.tree.map(_rebase, trainer.opt_g),
+            opt_net=jax.tree.map(_rebase, trainer.opt_net))
 
     stack = []
     key = jax.random.PRNGKey(seed)
@@ -547,7 +564,8 @@ def train(
         def mod_fire(m):
             return it // m > prev // m
         # Remote-viewer poll (train.py:125-156 parity): serve a frame to a
-        # connected SIBR viewer each iteration.
+        # connected SIBR viewer once per loop pass (= per iteration at
+        # B=1; per B-iteration window when view batching).
         if network_gui is not None:
             network_gui.try_connect()
             if network_gui.conn is not None:
@@ -603,15 +621,18 @@ def train(
             trainer, batch, style_f, bg)
 
         if use_rvq:
-            # Learnable-codebook stand-in: one masked means step per iter
-            # (reference attaches the RVQ codebooks to the Adam optimizer).
+            # Learnable-codebook stand-in: one masked means step per
+            # reference ITERATION (the reference attaches the codebooks to
+            # its Adam optimizer) — B applications per window keep the QAT
+            # adaptation cadence in the iteration domain.
             act = trainer.gstate.active
-            trainer = trainer._replace(
-                rvq_scale=rvq_mod.update_codebooks(
-                    trainer.rvq_scale, G.get_scaling(trainer.gstate), act),
-                rvq_rot=rvq_mod.update_codebooks(
-                    trainer.rvq_rot, G.get_rotation(trainer.gstate), act),
-            )
+            for _ in range(B):
+                trainer = trainer._replace(
+                    rvq_scale=rvq_mod.update_codebooks(
+                        trainer.rvq_scale, G.get_scaling(trainer.gstate), act),
+                    rvq_rot=rvq_mod.update_codebooks(
+                        trainer.rvq_rot, G.get_rotation(trainer.gstate), act),
+                )
 
         # Densification schedule (train.py:264-293).
         if it < cfg.densify_until_iter:
@@ -638,14 +659,17 @@ def train(
             if mod_fire(cfg.mask_prune_iter):
                 trainer = trainer._replace(gstate=G.mask_prune(trainer.gstate))
 
-        # Capacity-bucket shrink after prune events: pack live slots to the
-        # front and drop dead rows from state + Adam moments. jit retraces
-        # once per bucket (<= log2(C/floor) times a run); each retrace is
-        # amortized over thousands of proportionally cheaper steps.
+        # Capacity-bucket resize after prune/densify events: pack live
+        # slots to the front and drop dead rows (shrink), or zero-pad back
+        # toward cfg.capacity when densification refills past 3/4
+        # occupancy (so a transient prune dip never permanently caps
+        # growth). jit retraces once per bucket; each retrace is amortized
+        # over thousands of proportionally cheaper steps.
         if cfg.recompact_floor and mod_fire(cfg.densification_interval):
             n = int(trainer.gstate.n_active)
+            cap_now = trainer.gstate.capacity
             bucket = G.capacity_bucket(n, floor=cfg.recompact_floor)
-            if bucket < trainer.gstate.capacity:
+            if bucket < cap_now:
                 order = G.recompact_order(trainer.gstate)
                 trainer = trainer._replace(
                     gstate=G.shrink_tree(trainer.gstate, order, bucket),
@@ -653,6 +677,14 @@ def train(
                 )
                 if progress_every:
                     print(f"iter {it}: recompact {n} live -> capacity {bucket}")
+            elif 4 * n > 3 * cap_now and cap_now < cfg.capacity:
+                new_cap = min(bucket, cfg.capacity)
+                trainer = trainer._replace(
+                    gstate=G.grow_tree(trainer.gstate, cap_now, new_cap),
+                    opt_g=G.grow_tree(trainer.opt_g, cap_now, new_cap),
+                )
+                if progress_every:
+                    print(f"iter {it}: regrow {n} live -> capacity {new_cap}")
 
         if progress_every and mod_fire(progress_every):
             print(f"iter {it}: loss={float(metrics['loss']):.5f} "
@@ -682,11 +714,15 @@ def train(
             if progress_every:
                 print(f"[ITER {it}] eval: L1 {np.mean(l1s):.4f} PSNR {np.mean(psnrs):.2f}")
 
-        if any(crossed(x) for x in checkpoint_iterations):
-            from aip_tpu.gs.checkpoint import save_checkpoint
+        for x in checkpoint_iterations:
+            if crossed(x):
+                from aip_tpu.gs.checkpoint import save_checkpoint
 
-            ckpt_dir = Path(checkpoint_dir or (Path(guide_out) / "checkpoints"))
-            save_checkpoint(ckpt_dir / f"chkpnt{it}", trainer)
+                # Saved under the REQUESTED iteration's name so callers
+                # find it; with B>1 the state is <=B-1 iterations newer.
+                ckpt_dir = Path(checkpoint_dir
+                                or (Path(guide_out) / "checkpoints"))
+                save_checkpoint(ckpt_dir / f"chkpnt{x}", trainer)
 
     # Final: mask prune (final_prune parity, :607-651). Codebooks were
     # k-means-seeded at rvq_start and trained through the QAT phase above;

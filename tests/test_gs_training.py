@@ -515,3 +515,23 @@ def test_view_chunked_step_matches_flat_vmap(tmp_path, rng, monkeypatch):
     for vchunk in (2, 1):
         np.testing.assert_allclose(outs[vchunk][0], outs[4][0], rtol=1e-6)
         np.testing.assert_allclose(outs[vchunk][1], outs[4][1], atol=2e-5)
+
+
+def test_recompact_regrows_after_densify(tmp_path, rng, monkeypatch, style_img):
+    """A prune-induced capacity shrink is not permanent: when densification
+    refills past 3/4 occupancy the buffers pad back toward cfg.capacity."""
+    from aip_tpu.models import weights as weights_mod
+
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+    scene = _make_scene(tmp_path, rng)
+    scene.scene_info.point_cloud.points = scene.scene_info.point_cloud.points[:60]
+    scene.scene_info.point_cloud.colors = scene.scene_info.point_cloud.colors[:60]
+
+    # Densify ON: n grows 60 -> ~125 after the shrink to 128 at iter 8.
+    cfg = _tiny_cfg(recompact_floor=32)
+    trainer, _ = train(scene, style_img, cfg, img_size=32,
+                       guide_dir=str(tmp_path / "guides"))
+    n = int(trainer.gstate.n_active)
+    cap = trainer.gstate.capacity
+    assert 4 * n <= 3 * cap or cap == 256, (n, cap)
+    assert np.isfinite(np.asarray(trainer.gstate.xyz)).all()
