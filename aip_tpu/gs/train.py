@@ -247,9 +247,14 @@ def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
     # are alive under grad). Chunks beyond the first run under lax.scan.
     n_tiles = ((height + 15) // 16) * ((width + 15) // 16)
     per_view = n_tiles * cfg.max_per_tile * 256 * 4
-    vchunk = view_chunk or n_views
-    while vchunk > 1 and (n_views % vchunk or vchunk * per_view > (1 << 30)):
-        vchunk -= 1
+    if view_chunk:
+        assert n_views % view_chunk == 0, (n_views, view_chunk)
+        vchunk = view_chunk  # explicit (e.g. dp-sharded: memory divides)
+    else:
+        vchunk = n_views
+        while vchunk > 1 and (n_views % vchunk
+                              or vchunk * per_view > (1 << 30)):
+            vchunk -= 1
     settings = make_settings_from_dims(height, width, cfg,
                                        views=views_per_step)
 

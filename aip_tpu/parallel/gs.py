@@ -10,7 +10,11 @@ Usage:
     mesh = make_mesh(jax.devices(), axis_names=("dp",), shape=(n,))
     trainer = replicate_trainer(mesh, trainer)
     cams = shard_view_batch(mesh, stack_cameras(views))   # B % n == 0
-    step = make_train_step(cfg, slr, phase, H, W, views_per_step=B)
+    # view_chunk=B: the view axis is dp-sharded, so per-device composite
+    # memory is already B/n views — the single-chip memory chunking
+    # (lax.scan over vmapped sub-batches) must not serialize it.
+    step = make_train_step(cfg, slr, phase, H, W, views_per_step=B,
+                           view_chunk=B)
     trainer, metrics = step(trainer, cams, style_f, bg)
 """
 
