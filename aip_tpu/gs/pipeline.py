@@ -128,7 +128,7 @@ def run_3dgs_rendering(
     out_dir = Path(output_dir or (model_path / "renders"))
     out_dir.mkdir(parents=True, exist_ok=True)
     frames = []
-    for i, cam in enumerate(scene.getTrainCameras()):
+    for i, cam in enumerate(cams_all):
         settings = RasterSettings(
             image_height=cam.image_height, image_width=cam.image_width,
             max_per_tile=max_per_tile, macro_capacity=macro_kc,

@@ -82,14 +82,15 @@ def main():
         t0 = time.time()
         trainer2, _ = step(trainer, step_arrays, style_f, bg)
         sync(jax.tree.leaves(trainer2)[0])
-        print(f"(compile {time.time()-t0:.0f}s)")
+        compile_s = time.time() - t0
         t0 = time.time()
         for _ in range(args.iters):
             trainer2, _ = step(trainer, step_arrays, style_f, bg)
         sync(jax.tree.leaves(trainer2)[0])
         dt = (time.time() - t0) / args.iters * 1000
-        print(f"full step B={B:2d}             : {dt:8.1f} ms "
-              f"= {dt / B:6.1f} ms / reference iteration")
+        print(f"full step B={B:<2d}              : {dt:8.1f} ms "
+              f"= {dt / B:6.1f} ms / reference iteration "
+              f"(compile {compile_s:.0f}s)")
         return
     trainer, _ = bench("full step", step, trainer, arrays, style_f, bg)
 
