@@ -14,7 +14,39 @@ import time
 import numpy as np
 
 
+def wait_for_device(max_wait_s: float = 600.0) -> None:
+    """Block until the TPU claim is grantable (or give up after max_wait).
+
+    The axon claim is granted serially and can lag minutes behind a
+    previous process's exit; probing in a SUBPROCESS avoids poisoning this
+    process's backend cache with a failed init. No-op once a probe lands.
+    """
+    import subprocess
+    import sys
+    import time
+
+    probe = ("import jax, jax.numpy as jnp, numpy as np;"
+             "x = jnp.ones((8, 8)); np.asarray((x @ x)[0, 0]); print('ok')")
+    deadline = time.time() + max_wait_s
+    while time.time() < deadline:
+        # Full remaining budget per attempt: killing a probe that is
+        # WAITING for the claim would itself queue a dead claim and extend
+        # the wedge, so a hanging probe gets the whole window. Init-level
+        # failures (relay down) return fast and are retried.
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True,
+                               timeout=max(30.0, deadline - time.time()))
+            if b"ok" in r.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            return  # claim still pending; let the real bench inherit it
+        time.sleep(10.0)
+
+
 def main():
+    wait_for_device()
+
     import jax
     import jax.numpy as jnp
 
