@@ -445,6 +445,7 @@ def train(
     logger=None,
     network_gui=None,
     views_per_step: int = 1,
+    guide_batch: int = 8,
 ):
     """Full two-phase stylized training. Returns (TrainerState, style_f).
 
@@ -483,27 +484,69 @@ def train(
 
     cams = scene.getTrainCameras()
 
-    # Pre-pass: one stylized guide per camera, cached on device (train.py:87-115).
+    # Pre-pass: one stylized guide per camera, cached on device
+    # (train.py:87-115). The reference stylizes each view serially; when no
+    # depth map is involved and all cameras share a resolution, views go
+    # through the batched serving path instead (style stats computed once,
+    # 8 views per dispatch) — same math as adain_inference's
+    # stylize_simple + mask composite, ~8x fewer dispatches.
     guides = {}
     import tempfile
 
-    guide_out = guide_dir or tempfile.mkdtemp(prefix="aip_gs_guides_")
-    for cam in cams:
-        gt = (cam.image * 255).astype(np.uint8)
-        mask = (gt > 0).transpose(2, 0, 1)[:1].astype(np.float32)
-        path = adain_inference(
-            content_img=gt, style_img=style_image,
-            content_size=img_size, style_size=img_size,
-            content_mask=mask, output=str(guide_out), file_name=cam.image_name,
-            use_depth=use_depth, depth_offset=depth_offset,
-            depth_prominence=depth_prominence,
-        )
-        guide = _to_array(path)
-        from aip_tpu.ops.image import resize_bilinear
+    from aip_tpu.ops.image import resize_bilinear
 
-        guide = resize_bilinear(jnp.asarray(guide),
-                                (cam.image_height, cam.image_width))
-        guides[cam.image_name] = guide
+    guide_out = guide_dir or tempfile.mkdtemp(prefix="aip_gs_guides_")
+    same_res = len({(c.image_height, c.image_width) for c in cams}) == 1
+    if guide_batch > 1 and not use_depth and same_res and len(cams) > 1:
+        from aip_tpu.models import weights as weights_mod
+        from aip_tpu.ops.image import resize_nearest
+        from aip_tpu.pipelines.adain_infer import (
+            _test_transform, precompute_style_stats, stylize_with_stats,
+            save_image,
+        )
+
+        vggp = weights_mod.get_vgg_params()
+        decp = weights_mod.get_decoder_params()
+        style_t = _test_transform(_to_array(style_image), img_size, False)
+        s_mean, s_std = precompute_style_stats(vggp, style_t[None])
+        Path(guide_out).mkdir(parents=True, exist_ok=True)
+        bsz = guide_batch
+        for i0 in range(0, len(cams), bsz):
+            chunk = cams[i0:i0 + bsz]
+            gts = [(c.image * 255).astype(np.uint8) for c in chunk]
+            cb = jnp.stack([_test_transform(_to_array(g), img_size, False)
+                            for g in gts])
+            out = stylize_with_stats(vggp, decp, cb, s_mean, s_std, alpha=0.5)
+            # Binary mask composite at the working size (test.py:222-236).
+            masks = jnp.stack([
+                resize_nearest(
+                    jnp.asarray((g[..., :1] > 0).astype(np.float32))[None],
+                    (cb.shape[1], cb.shape[2]))[0]
+                for g in gts])
+            out = jnp.clip(cb * (1.0 - masks) + out * masks, 0.0, 1.0)
+            for c, o in zip(chunk, out):
+                # Same artifact trail as the serial path: guide JPEG on
+                # disk, reloaded and resized to the camera resolution.
+                p = Path(guide_out) / f"{c.image_name}.jpg"
+                save_image(o[None], p)
+                guides[c.image_name] = resize_bilinear(
+                    jnp.asarray(_to_array(p)),
+                    (c.image_height, c.image_width))
+    else:
+        for cam in cams:
+            gt = (cam.image * 255).astype(np.uint8)
+            mask = (gt > 0).transpose(2, 0, 1)[:1].astype(np.float32)
+            path = adain_inference(
+                content_img=gt, style_img=style_image,
+                content_size=img_size, style_size=img_size,
+                content_mask=mask, output=str(guide_out),
+                file_name=cam.image_name,
+                use_depth=use_depth, depth_offset=depth_offset,
+                depth_prominence=depth_prominence,
+            )
+            guides[cam.image_name] = resize_bilinear(
+                jnp.asarray(_to_array(path)),
+                (cam.image_height, cam.image_width))
 
     # One compiled step per (phase, resolution, rvq?).
     step_cache = {}

@@ -535,3 +535,33 @@ def test_recompact_regrows_after_densify(tmp_path, rng, monkeypatch, style_img):
     cap = trainer.gstate.capacity
     assert 4 * n <= 3 * cap or cap == 256, (n, cap)
     assert np.isfinite(np.asarray(trainer.gstate.xyz)).all()
+
+
+def test_batched_guide_prepass_matches_serial(tmp_path, rng, monkeypatch,
+                                              style_img):
+    """The batched guide pre-pass (style stats once + stylize_with_stats)
+    produces the same guide JPEGs as the reference-shaped serial
+    adain_inference path."""
+    from aip_tpu.models import weights as weights_mod
+
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+    scene = _make_scene(tmp_path, rng, n_views=3)
+    scene.scene_info.point_cloud.points = scene.scene_info.point_cloud.points[:60]
+    scene.scene_info.point_cloud.colors = scene.scene_info.point_cloud.colors[:60]
+
+    cfg = _tiny_cfg(iterations=2, freeze_iters=2, densify_from_iter=10**6,
+                    mask_prune_iter=10**6)
+    train(scene, style_img, cfg, img_size=32,
+          guide_dir=str(tmp_path / "g_batched"), guide_batch=8)
+    train(scene, style_img, cfg, img_size=32,
+          guide_dir=str(tmp_path / "g_serial"), guide_batch=0)
+
+    for name in ("r_0", "r_1", "r_2"):
+        a = np.asarray(Image.open(tmp_path / "g_batched" / f"{name}.jpg"),
+                       np.float32)
+        b = np.asarray(Image.open(tmp_path / "g_serial" / f"{name}.jpg"),
+                       np.float32)
+        # adain() vs precomputed-stats path differ only in fp association;
+        # allow a couple of 8-bit steps after JPEG.
+        assert np.mean(np.abs(a - b)) < 1.5, name
+        assert np.max(np.abs(a - b)) <= 24.0, name
