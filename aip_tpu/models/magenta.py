@@ -11,11 +11,18 @@ offsets are predicted from that embedding.
 The transformer follows the magenta layout exactly (9x9-32 / 3x3s2-64 /
 3x3s2-128 contract, 5 residual blocks, nearest-upsample expand, 9x9-3 head
 with sigmoid, mirror padding, CIN after every non-output conv). The style
-predictor uses a compact strided-conv trunk + global pool + 100-d bottleneck
-(the hub v1-256 uses an InceptionV3 trunk; the distilled magenta variant a
-MobileNetV2 — the trunk only runs once per style, so a small trunk keeps the
-per-frame cost identical while remaining cheap to train from scratch; TF-Hub
-checkpoints are TF-format and not loadable here).
+predictor offers two trunks ahead of the shared 100-d bottleneck + CIN heads:
+
+- ``"compact"`` (default): a small strided-conv trunk — the trunk only runs
+  once per style, so per-frame cost is identical and it is cheap to train
+  from scratch.
+- ``"mobilenet_v2"``: the *distilled* magenta variant's published backbone
+  (the hub v1-256 uses InceptionV3), implemented for real in
+  :mod:`aip_tpu.models.mobilenet` with a torchvision-layout state-dict
+  converter — a converted real MobileNetV2 checkpoint loads directly via
+  :func:`load_mbv2_trunk_from_torch`. Only the magenta-specific bottleneck
+  and CIN heads stay framework-side (TF-Hub checkpoints are TF-format and
+  not loadable in this environment).
 
 Per-frame cost at 256px is ~4 GFLOPs vs ~100 GFLOPs for the VGG AdaIN
 round-trip — the "genuinely cheaper stylizer" the reference's fast path
@@ -57,7 +64,10 @@ def _init_conv(key, k, cin, cout):
     return jax.random.normal(key, (k, k, cin, cout)) * jnp.sqrt(2.0 / (k * k * cin))
 
 
-def init_magenta_params(key: jax.Array) -> MagentaParams:
+def init_magenta_params(key: jax.Array,
+                        predictor_trunk: str = "compact") -> MagentaParams:
+    if predictor_trunk not in ("compact", "mobilenet_v2"):
+        raise ValueError(f"unknown predictor trunk {predictor_trunk!r}")
     keys = iter(jax.random.split(key, 64))
     transform = {}
     cin = 3
@@ -74,11 +84,17 @@ def init_magenta_params(key: jax.Array) -> MagentaParams:
     transform["out"] = _init_conv(next(keys), 9, cin, 3)
     transform["out_b"] = jnp.zeros(3)
 
-    predictor = {"trunk": []}
-    pc = 3
-    for k, _s, cout in _PREDICTOR_TRUNK:
-        predictor["trunk"].append(_init_conv(next(keys), k, pc, cout))
-        pc = cout
+    predictor = {"trunk": [], "trunk_type": predictor_trunk}
+    if predictor_trunk == "mobilenet_v2":
+        from aip_tpu.models.mobilenet import MBV2_FEATURES, init_mbv2_trunk
+
+        predictor["mbv2"] = init_mbv2_trunk(next(keys))
+        pc = MBV2_FEATURES
+    else:
+        pc = 3
+        for k, _s, cout in _PREDICTOR_TRUNK:
+            predictor["trunk"].append(_init_conv(next(keys), k, pc, cout))
+            pc = cout
     predictor["bottleneck_w"] = (
         jax.random.normal(next(keys), (pc, BOTTLENECK)) * jnp.sqrt(1.0 / pc))
     predictor["bottleneck_b"] = jnp.zeros(BOTTLENECK)
@@ -113,10 +129,16 @@ def _cin(x, gamma, beta, eps=1e-5):
 def predict_style(params: MagentaParams, style: jax.Array) -> dict:
     """[N, H, W, 3] style image(s) -> {layer: (gamma [N,C], beta [N,C])}."""
     p = params.predictor
-    x = style
-    for w in p["trunk"]:
-        x = jax.nn.relu(_mirror_conv(x, w, stride=2))
-    emb = jnp.mean(x, axis=(1, 2)) @ p["bottleneck_w"] + p["bottleneck_b"]
+    if p.get("trunk_type", "compact") == "mobilenet_v2":
+        from aip_tpu.models.mobilenet import mbv2_features
+
+        feats = mbv2_features(p["mbv2"], style)
+    else:
+        x = style
+        for w in p["trunk"]:
+            x = jax.nn.relu(_mirror_conv(x, w, stride=2))
+        feats = jnp.mean(x, axis=(1, 2))
+    emb = feats @ p["bottleneck_w"] + p["bottleneck_b"]
     out = {}
     for name, _c in _cin_channels():
         out[name] = (emb @ p["heads"][f"{name}_gamma_w"] + p["heads"][f"{name}_gamma_b"],
@@ -184,12 +206,40 @@ def use_magenta_stylizer(params: MagentaParams | None = None) -> None:
     register_fast_stylizer(make_fast_stylizer(params))
 
 
+def load_mbv2_trunk_from_torch(params: MagentaParams, state_dict) -> MagentaParams:
+    """Swap a converted real MobileNetV2 checkpoint (torchvision
+    ``state_dict()`` layout) into a ``predictor_trunk="mobilenet_v2"``
+    parameter set. Bottleneck + CIN heads are untouched."""
+    from aip_tpu.models.mobilenet import convert_torch_mobilenet_v2
+
+    if params.predictor.get("trunk_type", "compact") != "mobilenet_v2":
+        raise ValueError("params were not built with predictor_trunk='mobilenet_v2'")
+    predictor = dict(params.predictor)
+    predictor["mbv2"] = convert_torch_mobilenet_v2(state_dict)
+    return MagentaParams(params.transform, predictor)
+
+
+def _mbv2_items(trunk: dict):
+    """Deterministic (name, conv-bn dict) walk of a MobileNetV2 trunk."""
+    yield "stem", trunk["stem"]
+    for i, blk in enumerate(trunk["blocks"]):
+        for part in ("expand", "dw", "project"):
+            if part in blk:
+                yield f"b{i}_{part}", blk[part]
+    yield "head", trunk["head"]
+
+
 def save_magenta_npz(params: MagentaParams, path) -> None:
     flat = {}
     for k, v in params.transform.items():
         flat[f"t_{k}"] = np.asarray(v)
     for i, w in enumerate(params.predictor["trunk"]):
         flat[f"p_trunk_{i}"] = np.asarray(w)
+    if params.predictor.get("trunk_type", "compact") == "mobilenet_v2":
+        flat["p_trunk_type"] = np.asarray("mobilenet_v2")
+        for name, cb in _mbv2_items(params.predictor["mbv2"]):
+            for field in ("w", "scale", "shift"):
+                flat[f"mb_{name}_{field}"] = np.asarray(cb[field])
     flat["p_bottleneck_w"] = np.asarray(params.predictor["bottleneck_w"])
     flat["p_bottleneck_b"] = np.asarray(params.predictor["bottleneck_b"])
     for k, v in params.predictor["heads"].items():
@@ -200,11 +250,21 @@ def save_magenta_npz(params: MagentaParams, path) -> None:
 def load_magenta_npz(path) -> MagentaParams:
     d = np.load(str(path))
     transform_d = {k[2:]: jnp.asarray(d[k]) for k in d.files if k.startswith("t_")}
-    trunk = [jnp.asarray(d[f"p_trunk_{i}"])
-             for i in range(len([k for k in d.files if k.startswith("p_trunk_")]))]
+    n_trunk = sum(1 for k in d.files
+                  if k.startswith("p_trunk_") and k[len("p_trunk_"):].isdigit())
+    trunk = [jnp.asarray(d[f"p_trunk_{i}"]) for i in range(n_trunk)]
     heads = {k[2:]: jnp.asarray(d[k]) for k in d.files if k.startswith("h_")}
     predictor = {"trunk": trunk,
                  "bottleneck_w": jnp.asarray(d["p_bottleneck_w"]),
                  "bottleneck_b": jnp.asarray(d["p_bottleneck_b"]),
                  "heads": heads}
+    if "p_trunk_type" in d.files and str(d["p_trunk_type"]) == "mobilenet_v2":
+        from aip_tpu.models.mobilenet import init_mbv2_trunk
+
+        predictor["trunk_type"] = "mobilenet_v2"
+        mb = init_mbv2_trunk(jax.random.PRNGKey(0))  # structure template
+        for name, cb in _mbv2_items(mb):
+            for field in ("w", "scale", "shift"):
+                cb[field] = jnp.asarray(d[f"mb_{name}_{field}"])
+        predictor["mbv2"] = mb
     return MagentaParams(transform_d, predictor)

@@ -116,3 +116,34 @@ def test_depixelize_fast_branch(tmp_path, rng):
     img = np.asarray(Image.open(p))
     assert img.ndim == 3 and img.shape[2] == 3
     assert img.shape[0] >= 44 and img.shape[1] >= 44
+
+
+def test_mobilenet_trunk_predicts_and_roundtrips(tmp_path, rng):
+    """The distilled-variant predictor trunk (MobileNetV2): CIN params come
+    out with the right shapes, condition the output, and survive the npz
+    roundtrip with trunk type preserved."""
+    params = M.init_magenta_params(jax.random.PRNGKey(1),
+                                   predictor_trunk="mobilenet_v2")
+    style = jnp.asarray(rng.random((1, 64, 64, 3)).astype(np.float32))
+    cin = M.predict_style(params, style)
+    for name, (gamma, beta) in cin.items():
+        assert gamma.shape == beta.shape and gamma.shape[0] == 1
+
+    content = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    s2 = jnp.asarray(rng.random((64, 64, 3)).astype(np.float32))
+    o1 = np.asarray(M.stylize(params, content, style[0]))
+    o2 = np.asarray(M.stylize(params, content, s2))
+    assert np.abs(o1 - o2).max() > 1e-5
+
+    M.save_magenta_npz(params, tmp_path / "mb.npz")
+    params2 = M.load_magenta_npz(tmp_path / "mb.npz")
+    assert params2.predictor["trunk_type"] == "mobilenet_v2"
+    np.testing.assert_allclose(
+        np.asarray(M.stylize(params, content, style[0])),
+        np.asarray(M.stylize(params2, content, style[0])), atol=1e-6)
+
+
+def test_load_mbv2_trunk_from_torch_requires_mbv2_params():
+    params = M.init_magenta_params(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        M.load_mbv2_trunk_from_torch(params, {})
