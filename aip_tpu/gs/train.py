@@ -501,8 +501,8 @@ def train(
         from aip_tpu.models import weights as weights_mod
         from aip_tpu.ops.image import resize_nearest
         from aip_tpu.pipelines.adain_infer import (
-            _test_transform, precompute_style_stats, stylize_with_stats,
-            save_image,
+            _test_transform, precompute_style_stats, save_image,
+            stylize_batch_with_stats,
         )
 
         vggp = weights_mod.get_vgg_params()
@@ -516,14 +516,17 @@ def train(
             gts = [(c.image * 255).astype(np.uint8) for c in chunk]
             cb = jnp.stack([_test_transform(_to_array(g), img_size, False)
                             for g in gts])
-            out = stylize_with_stats(vggp, decp, cb, s_mean, s_std, alpha=0.5)
-            # Binary mask composite at the working size (test.py:222-236).
+            # Binary mask composite at the working size (test.py:222-236);
+            # stylize_batch_with_stats also restores the content size when
+            # the decoder output came back 8*floor(H/8).
             masks = jnp.stack([
                 resize_nearest(
                     jnp.asarray((g[..., :1] > 0).astype(np.float32))[None],
                     (cb.shape[1], cb.shape[2]))[0]
                 for g in gts])
-            out = jnp.clip(cb * (1.0 - masks) + out * masks, 0.0, 1.0)
+            out = jnp.clip(
+                stylize_batch_with_stats(vggp, decp, cb, s_mean, s_std,
+                                         masks=masks, alpha=0.5), 0.0, 1.0)
             for c, o in zip(chunk, out):
                 # Same artifact trail as the serial path: guide JPEG on
                 # disk, reloaded and resized to the camera resolution.

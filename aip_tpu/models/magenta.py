@@ -84,7 +84,10 @@ def init_magenta_params(key: jax.Array,
     transform["out"] = _init_conv(next(keys), 9, cin, 3)
     transform["out_b"] = jnp.zeros(3)
 
-    predictor = {"trunk": [], "trunk_type": predictor_trunk}
+    # The trunk kind is encoded structurally (an "mbv2" subtree), never as
+    # a string leaf: MagentaParams stays a pure array pytree, safe to pass
+    # through jit/vmap as a traced argument.
+    predictor = {"trunk": []}
     if predictor_trunk == "mobilenet_v2":
         from aip_tpu.models.mobilenet import MBV2_FEATURES, init_mbv2_trunk
 
@@ -129,7 +132,7 @@ def _cin(x, gamma, beta, eps=1e-5):
 def predict_style(params: MagentaParams, style: jax.Array) -> dict:
     """[N, H, W, 3] style image(s) -> {layer: (gamma [N,C], beta [N,C])}."""
     p = params.predictor
-    if p.get("trunk_type", "compact") == "mobilenet_v2":
+    if "mbv2" in p:
         from aip_tpu.models.mobilenet import mbv2_features
 
         feats = mbv2_features(p["mbv2"], style)
@@ -212,7 +215,7 @@ def load_mbv2_trunk_from_torch(params: MagentaParams, state_dict) -> MagentaPara
     parameter set. Bottleneck + CIN heads are untouched."""
     from aip_tpu.models.mobilenet import convert_torch_mobilenet_v2
 
-    if params.predictor.get("trunk_type", "compact") != "mobilenet_v2":
+    if "mbv2" not in params.predictor:
         raise ValueError("params were not built with predictor_trunk='mobilenet_v2'")
     predictor = dict(params.predictor)
     predictor["mbv2"] = convert_torch_mobilenet_v2(state_dict)
@@ -235,8 +238,8 @@ def save_magenta_npz(params: MagentaParams, path) -> None:
         flat[f"t_{k}"] = np.asarray(v)
     for i, w in enumerate(params.predictor["trunk"]):
         flat[f"p_trunk_{i}"] = np.asarray(w)
-    if params.predictor.get("trunk_type", "compact") == "mobilenet_v2":
-        flat["p_trunk_type"] = np.asarray("mobilenet_v2")
+    if "mbv2" in params.predictor:
+        flat["p_trunk_type"] = np.asarray("mobilenet_v2")  # npz metadata only
         for name, cb in _mbv2_items(params.predictor["mbv2"]):
             for field in ("w", "scale", "shift"):
                 flat[f"mb_{name}_{field}"] = np.asarray(cb[field])
@@ -259,10 +262,9 @@ def load_magenta_npz(path) -> MagentaParams:
                  "bottleneck_b": jnp.asarray(d["p_bottleneck_b"]),
                  "heads": heads}
     if "p_trunk_type" in d.files and str(d["p_trunk_type"]) == "mobilenet_v2":
-        from aip_tpu.models.mobilenet import init_mbv2_trunk
+        from aip_tpu.models.mobilenet import mbv2_trunk_skeleton
 
-        predictor["trunk_type"] = "mobilenet_v2"
-        mb = init_mbv2_trunk(jax.random.PRNGKey(0))  # structure template
+        mb = mbv2_trunk_skeleton()  # structure only, no throwaway init
         for name, cb in _mbv2_items(mb):
             for field in ("w", "scale", "shift"):
                 cb[field] = jnp.asarray(d[f"mb_{name}_{field}"])

@@ -66,6 +66,21 @@ def init_mbv2_trunk(key: jax.Array) -> dict:
     }
 
 
+def mbv2_trunk_skeleton() -> dict:
+    """Trunk pytree with None array leaves — the structure is fully
+    determined by ``MBV2_CFG``, so loaders can fill it in place without a
+    throwaway random init (which would also dispatch to whatever device is
+    the process default)."""
+    empty = lambda: {"w": None, "scale": None, "shift": None}  # noqa: E731
+    blocks = []
+    for t, _c, n, s in MBV2_CFG:
+        for i in range(n):
+            blk = {} if t == 1 else {"expand": empty()}
+            blk.update(dw=empty(), project=empty(), stride=s if i == 0 else 1)
+            blocks.append(blk)
+    return {"stem": empty(), "blocks": blocks, "head": empty()}
+
+
 def _conv_bn(x, p, stride=1, groups=1, relu6=True):
     w = p["w"]
     pad = (w.shape[0] - 1) // 2
@@ -91,7 +106,7 @@ def mbv2_features(trunk: dict, x: jax.Array) -> jax.Array:
     return jnp.mean(y, axis=(1, 2))
 
 
-def _fold(sd, conv_key, bn_key, depthwise=False, eps=1e-5):
+def _fold(sd, conv_key, bn_key, eps=1e-5):
     """torch conv weight + BatchNorm stats -> {w (HWIO), scale, shift}."""
     w = np.asarray(sd[f"{conv_key}.weight"], np.float32)  # (O, I/g, kh, kw)
     gamma = np.asarray(sd[f"{bn_key}.weight"], np.float32)
@@ -100,11 +115,9 @@ def _fold(sd, conv_key, bn_key, depthwise=False, eps=1e-5):
     var = np.asarray(sd[f"{bn_key}.running_var"], np.float32)
     scale = gamma / np.sqrt(var + eps)
     shift = beta - mean * scale
-    if depthwise:
-        # torch (C, 1, kh, kw), groups=C -> JAX (kh, kw, 1, C)
-        w = w.transpose(2, 3, 1, 0)
-    else:
-        w = w.transpose(2, 3, 1, 0)  # (kh, kw, I, O)
+    # One transpose covers both layouts: regular (O, I, kh, kw) -> HWIO and
+    # depthwise (C, 1, kh, kw) with groups=C -> (kh, kw, 1, C).
+    w = w.transpose(2, 3, 1, 0)
     return {"w": jnp.asarray(w), "scale": jnp.asarray(scale),
             "shift": jnp.asarray(shift)}
 
@@ -123,12 +136,10 @@ def convert_torch_mobilenet_v2(sd) -> dict:
             blk = {"stride": s if i == 0 else 1}
             if t != 1:
                 blk["expand"] = _fold(sd, f"{base}.0.0", f"{base}.0.1")
-                blk["dw"] = _fold(sd, f"{base}.1.0", f"{base}.1.1",
-                                  depthwise=True)
+                blk["dw"] = _fold(sd, f"{base}.1.0", f"{base}.1.1")
                 blk["project"] = _fold(sd, f"{base}.2", f"{base}.3")
             else:
-                blk["dw"] = _fold(sd, f"{base}.0.0", f"{base}.0.1",
-                                  depthwise=True)
+                blk["dw"] = _fold(sd, f"{base}.0.0", f"{base}.0.1")
                 blk["project"] = _fold(sd, f"{base}.1", f"{base}.2")
             trunk["blocks"].append(blk)
             idx += 1

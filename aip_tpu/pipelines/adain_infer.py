@@ -134,6 +134,30 @@ def stylize_with_stats(
     return decoder_apply(dec_params, feat.astype(compute_dtype), compute_dtype).astype(jnp.float32)
 
 
+def stylize_batch_with_stats(
+    vgg_params,
+    dec_params,
+    content: jax.Array,
+    style_mean: jax.Array,
+    style_std: jax.Array,
+    masks: jax.Array | None = None,
+    alpha: float = 0.5,
+) -> jax.Array:
+    """Batched serving-path stylization with `adain_inference`'s composite
+    semantics: the decoder returns 8*floor(H/8) rows when H % 8 != 0, so the
+    output is resized back to the content size BEFORE the binary-mask
+    composite (reference test.py:222-236). ``masks`` is [N, H, W, 1] at the
+    content working size (or None for plain stylization)."""
+    out = stylize_with_stats(vgg_params, dec_params, content,
+                             style_mean, style_std, alpha=alpha)
+    target_hw = (content.shape[1], content.shape[2])
+    if out.shape[1:3] != target_hw:
+        out = resize_bilinear(out, target_hw)
+    if masks is not None:
+        out = content * (1.0 - masks) + out * masks
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("alpha", "compute_dtype"))
 def stylize_interpolated(
     vgg_params,

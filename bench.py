@@ -29,19 +29,20 @@ def wait_for_device(max_wait_s: float = 600.0) -> None:
              "x = jnp.ones((8, 8)); np.asarray((x @ x)[0, 0]); print('ok')")
     deadline = time.time() + max_wait_s
     while time.time() < deadline:
-        # Full remaining budget per attempt: killing a probe that is
-        # WAITING for the claim would itself queue a dead claim and extend
-        # the wedge, so a hanging probe gets the whole window. Init-level
-        # failures (relay down) return fast and are retried.
-        try:
-            r = subprocess.run([sys.executable, "-c", probe],
-                               capture_output=True,
-                               timeout=max(30.0, deadline - time.time()))
-            if b"ok" in r.stdout:
-                return
-        except subprocess.TimeoutExpired:
-            return  # claim still pending; let the real bench inherit it
-        time.sleep(10.0)
+        # NEVER kill a probe: killing a process that is WAITING for the
+        # claim queues a dead claim and extends the wedge (CLAUDE.md). A
+        # probe that outlives the window is left running — it exits on its
+        # own once granted (tiny matmul) and the bench queues behind it.
+        p = subprocess.Popen([sys.executable, "-c", probe],
+                             stdout=subprocess.PIPE,
+                             stderr=subprocess.DEVNULL)
+        while p.poll() is None and time.time() < deadline:
+            time.sleep(2.0)
+        if p.poll() is None:
+            return  # claim still pending; the bench inherits the queue
+        if b"ok" in (p.stdout.read() if p.stdout else b""):
+            return
+        time.sleep(10.0)  # init-level failure (relay down); retry
 
 
 def main():

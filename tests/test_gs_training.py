@@ -565,3 +565,33 @@ def test_batched_guide_prepass_matches_serial(tmp_path, rng, monkeypatch,
         # allow a couple of 8-bit steps after JPEG.
         assert np.mean(np.abs(a - b)) < 1.5, name
         assert np.max(np.abs(a - b)) <= 24.0, name
+
+
+def test_batched_guide_prepass_non_multiple_of_8(tmp_path, rng, monkeypatch,
+                                                 style_img):
+    """Working sizes not divisible by 8: the decoder returns 8*floor(H/8)
+    rows, so the batched pre-pass must resize back to the content size
+    before the mask composite, exactly like serial adain_inference
+    (regression: the batched path crashed with a broadcast error)."""
+    from aip_tpu.models import weights as weights_mod
+
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+    scene = _make_scene(tmp_path, rng, n_views=2, size=36)
+    scene.scene_info.point_cloud.points = scene.scene_info.point_cloud.points[:60]
+    scene.scene_info.point_cloud.colors = scene.scene_info.point_cloud.colors[:60]
+
+    cfg = _tiny_cfg(iterations=2, freeze_iters=2, densify_from_iter=10**6,
+                    mask_prune_iter=10**6)
+    train(scene, style_img, cfg, img_size=36,
+          guide_dir=str(tmp_path / "g_batched"), guide_batch=8)
+    train(scene, style_img, cfg, img_size=36,
+          guide_dir=str(tmp_path / "g_serial"), guide_batch=0)
+
+    for name in ("r_0", "r_1"):
+        a = np.asarray(Image.open(tmp_path / "g_batched" / f"{name}.jpg"),
+                       np.float32)
+        b = np.asarray(Image.open(tmp_path / "g_serial" / f"{name}.jpg"),
+                       np.float32)
+        assert a.shape == b.shape == (36, 36, 3)
+        assert np.mean(np.abs(a - b)) < 1.5, name
+        assert np.max(np.abs(a - b)) <= 24.0, name

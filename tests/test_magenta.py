@@ -137,7 +137,7 @@ def test_mobilenet_trunk_predicts_and_roundtrips(tmp_path, rng):
 
     M.save_magenta_npz(params, tmp_path / "mb.npz")
     params2 = M.load_magenta_npz(tmp_path / "mb.npz")
-    assert params2.predictor["trunk_type"] == "mobilenet_v2"
+    assert "mbv2" in params2.predictor  # structural trunk marker
     np.testing.assert_allclose(
         np.asarray(M.stylize(params, content, style[0])),
         np.asarray(M.stylize(params2, content, style[0])), atol=1e-6)
