@@ -36,6 +36,11 @@ MBV2_CFG = (
 )
 MBV2_FEATURES = 1280
 
+def _block_strides() -> list:
+    """Static per-block strides — derived from MBV2_CFG, never stored in the
+    param pytree (an int leaf would become a tracer under jit-as-argument)."""
+    return [s if i == 0 else 1 for _t, _c, n, s in MBV2_CFG for i in range(n)]
+
 
 def _conv_bn_init(key, k, cin, cout, groups=1):
     w = jax.random.normal(key, (k, k, cin // groups, cout)) * jnp.sqrt(
@@ -56,7 +61,6 @@ def init_mbv2_trunk(key: jax.Array) -> dict:
                 blk["expand"] = _conv_bn_init(next(keys), 1, cin, hidden)
             blk["dw"] = _conv_bn_init(next(keys), 3, hidden, hidden, groups=hidden)
             blk["project"] = _conv_bn_init(next(keys), 1, hidden, c)
-            blk["stride"] = s if i == 0 else 1
             blocks.append(blk)
             cin = c
     return {
@@ -73,10 +77,10 @@ def mbv2_trunk_skeleton() -> dict:
     the process default)."""
     empty = lambda: {"w": None, "scale": None, "shift": None}  # noqa: E731
     blocks = []
-    for t, _c, n, s in MBV2_CFG:
-        for i in range(n):
+    for t, _c, n, _s in MBV2_CFG:
+        for _i in range(n):
             blk = {} if t == 1 else {"expand": empty()}
-            blk.update(dw=empty(), project=empty(), stride=s if i == 0 else 1)
+            blk.update(dw=empty(), project=empty())
             blocks.append(blk)
     return {"stem": empty(), "blocks": blocks, "head": empty()}
 
@@ -95,13 +99,13 @@ def _conv_bn(x, p, stride=1, groups=1, relu6=True):
 def mbv2_features(trunk: dict, x: jax.Array) -> jax.Array:
     """[N, H, W, 3] -> [N, 1280] global-pooled MobileNetV2 features."""
     y = _conv_bn(x, trunk["stem"], stride=2)
-    for blk in trunk["blocks"]:
+    for blk, stride in zip(trunk["blocks"], _block_strides()):
         z = y
         if "expand" in blk:
             z = _conv_bn(z, blk["expand"])
-        z = _conv_bn(z, blk["dw"], stride=blk["stride"], groups=z.shape[-1])
+        z = _conv_bn(z, blk["dw"], stride=stride, groups=z.shape[-1])
         z = _conv_bn(z, blk["project"], relu6=False)
-        y = y + z if blk["stride"] == 1 and y.shape[-1] == z.shape[-1] else z
+        y = y + z if stride == 1 and y.shape[-1] == z.shape[-1] else z
     y = _conv_bn(y, trunk["head"])
     return jnp.mean(y, axis=(1, 2))
 
@@ -133,7 +137,7 @@ def convert_torch_mobilenet_v2(sd) -> dict:
     for t, c, n, s in MBV2_CFG:
         for i in range(n):
             base = f"features.{idx}.conv"
-            blk = {"stride": s if i == 0 else 1}
+            blk = {}
             if t != 1:
                 blk["expand"] = _fold(sd, f"{base}.0.0", f"{base}.0.1")
                 blk["dw"] = _fold(sd, f"{base}.1.0", f"{base}.1.1")

@@ -147,3 +147,17 @@ def test_load_mbv2_trunk_from_torch_requires_mbv2_params():
     params = M.init_magenta_params(jax.random.PRNGKey(0))
     with pytest.raises(ValueError):
         M.load_mbv2_trunk_from_torch(params, {})
+
+
+def test_params_jit_traceable_as_argument(rng):
+    """MagentaParams must be a pure array pytree, passable through jit as a
+    TRACED argument for both trunks (no string/int leaves — regression for
+    the trunk-type marker and the mbv2 stride leaves)."""
+    content = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((32, 32, 3)).astype(np.float32))
+    fn = jax.jit(M.stylize)
+    for trunk in ("compact", "mobilenet_v2"):
+        params = M.init_magenta_params(jax.random.PRNGKey(0),
+                                       predictor_trunk=trunk)
+        out = np.asarray(fn(params, content, style))
+        assert out.shape == (1, 32, 32, 3) and np.isfinite(out).all(), trunk

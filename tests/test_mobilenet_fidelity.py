@@ -117,5 +117,4 @@ def test_random_init_structure_matches_converter(mirror):
             == jax.tree_util.tree_structure(rand))
     for a, b in zip(jax.tree_util.tree_leaves(conv),
                     jax.tree_util.tree_leaves(rand)):
-        # "stride" leaves are plain ints; array leaves must agree in shape.
-        assert np.shape(a) == np.shape(b)
+        assert a.shape == b.shape
