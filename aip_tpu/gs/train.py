@@ -219,7 +219,8 @@ def stack_cameras(cams: list) -> CameraArrays:
 
 def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
                     phase: str, height: int, width: int, use_rvq: bool = False,
-                    views_per_step: int = 1, view_chunk: int | None = None):
+                    views_per_step: int = 1, view_chunk: int | None = None,
+                    gaussian_shard=None):
     """Build the jitted step for 'photometric' or 'style' phase at a fixed
     image resolution (one compiled program per resolution).
 
@@ -236,6 +237,13 @@ def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
     view's full-magnitude gradient exactly as B reference iterations would.
     On a device mesh, shard the camera batch's leading axis over ``dp`` and
     XLA turns the mean into a psum (see parallel/gs.py).
+
+    ``gaussian_shard=(mesh, axis)`` additionally shards the colorfield
+    compute over the GAUSSIAN axis (parallel.gs.predict_sh_sharded): under
+    plain view-dp the colorfield is recomputed identically on every device,
+    so this divides its fwd+bwd — ~80% of the step at 512^2/131k — by the
+    mesh size. Composable with view sharding on the same axis (different
+    tensors, same devices). Requires capacity % mesh.shape[axis] == 0.
     """
     opt_gaussian = make_gaussian_optimizer(cfg, spatial_lr_scale,
                                            iter_scale=views_per_step)
@@ -282,11 +290,27 @@ def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
             loss = ll1  # gt here is the stylized guide
         return loss, ll1, out.radii
 
+    def compute_sh(field, gstate, style_f):
+        if gaussian_shard is not None:
+            from aip_tpu.parallel.gs import predict_sh_sharded
+
+            mesh_, ax_ = gaussian_shard
+            return predict_sh_sharded(mesh_, field, gstate.xyz, style_f,
+                                      axis=ax_)
+        from aip_tpu.gs.colorfield import predict_sh
+
+        return predict_sh(field, gstate.xyz, style_f)
+
     def loss_fn(gparams, field, gstate, camera, style_f, bg, offs, rvq_s, rvq_r):
         gstate = _with_gparams(gstate, gparams)
         if n_views == 1:
-            loss, ll1, radii = view_loss(gstate, field, camera, style_f, bg,
-                                         offs, rvq_s, rvq_r)
+            # The colorfield is precomputed (and optionally Gaussian-sharded)
+            # even for a single view so the sharded and replicated paths stay
+            # one code path.
+            sh1 = compute_sh(field, gstate, style_f) if gaussian_shard else None
+            loss, ll1, radii = view_loss(gstate, field, camera,
+                                         None if sh1 is not None else style_f,
+                                         bg, offs, rvq_s, rvq_r, sh=sh1)
             return loss, (ll1, radii)
         # Batched path: the view-invariant colorfield (hashgrid + MLP -> SH,
         # the dominant cost) runs ONCE for the batch; views then render in
@@ -294,9 +318,7 @@ def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
         # chunks — so at most ``vchunk`` views' [tiles, K, 256] composite
         # buffers are live at once. (A flat vmap materializes all B views'
         # buffers simultaneously — OOM at 800^2 x B=4 on a 16G chip.)
-        from aip_tpu.gs.colorfield import predict_sh
-
-        sh = predict_sh(field, gstate.xyz, style_f)
+        sh = compute_sh(field, gstate, style_f)
         cam_axes = CameraArrays(0, 0, 0, 0, None, None, 0, 0)
 
         def chunk_loss(camera_c, offs_c):

@@ -13,8 +13,11 @@ Usage:
     # view_chunk=B: the view axis is dp-sharded, so per-device composite
     # memory is already B/n views — the single-chip memory chunking
     # (lax.scan over vmapped sub-batches) must not serialize it.
+    # gaussian_shard: also shard the colorfield compute over the GAUSSIAN
+    # axis (predict_sh_sharded below) — under plain view-dp every device
+    # recomputes the full colorfield, the dominant step cost.
     step = make_train_step(cfg, slr, phase, H, W, views_per_step=B,
-                           view_chunk=B)
+                           view_chunk=B, gaussian_shard=(mesh, "dp"))
     trainer, metrics = step(trainer, cams, style_f, bg)
 """
 
@@ -50,6 +53,40 @@ def replicated_scalars(mesh: Mesh, *arrays):
     rep = NamedSharding(mesh, P())
     out = tuple(jax.device_put(jnp.asarray(a), rep) for a in arrays)
     return out if len(out) > 1 else out[0]
+
+
+def predict_sh_sharded(mesh: Mesh, field, xyz: jax.Array,
+                       style_f: jax.Array | None = None, axis: str = "dp"):
+    """Gaussian-sharded colorfield (SURVEY §2.4 mapping (c), training side).
+
+    The colorfield fwd+bwd is the dominant per-step training cost (~80% at
+    512^2/131k, BENCHMARKS.md) and is embarrassingly parallel over the
+    Gaussian axis — yet under view-batch data parallelism every device
+    recomputes it for ALL N Gaussians. Sharding xyz over ``axis`` makes each
+    device encode+MLP only N/dp rows (the hash tables and MLP stay
+    replicated); the transpose of the shard_map psums the replicated field
+    params' gradients over the mesh automatically, so ``jax.grad`` through
+    this matches the replicated path to fp tolerance (tested on the 8-device
+    CPU mesh). Inside the shard the platform-dispatched hash-gradient kernel
+    (Pallas on TPU) sees plain local arrays, exactly like the single-chip
+    path. Requires N % dp == 0 (capacity buckets are powers of two).
+
+    Returns [N, 16, 3] SH sharded over ``axis`` (consumers that need it
+    replicated — e.g. each device rasterizing its own views against ALL
+    Gaussians — get the all_gather from XLA at the sharding boundary).
+    """
+    from aip_tpu.gs.colorfield import predict_sh
+
+    dp = mesh.shape[axis]
+    assert xyz.shape[0] % dp == 0, (xyz.shape, dp)
+    if style_f is None:
+        fn = jax.shard_map(lambda fi, xy: predict_sh(fi, xy, None),
+                           mesh=mesh, in_specs=(P(), P(axis)),
+                           out_specs=P(axis))
+        return fn(field, xyz)
+    fn = jax.shard_map(predict_sh, mesh=mesh,
+                       in_specs=(P(), P(axis), P()), out_specs=P(axis))
+    return fn(field, xyz, style_f)
 
 
 # ---------------------------------------------------------------------------

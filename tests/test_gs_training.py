@@ -595,3 +595,80 @@ def test_batched_guide_prepass_non_multiple_of_8(tmp_path, rng, monkeypatch,
         assert a.shape == b.shape == (36, 36, 3)
         assert np.mean(np.abs(a - b)) < 1.5, name
         assert np.max(np.abs(a - b)) <= 24.0, name
+
+
+def test_gaussian_sharded_colorfield_step_matches(tmp_path, rng):
+    """Gaussian-sharded colorfield training (VERDICT r2 missing #4, training
+    side): a step with the colorfield compute sharded over the Gaussian axis
+    — composed with view-dp on the SAME mesh axis — must numerically match
+    the single-device step (shard_map's transpose psums the replicated
+    field-param gradients)."""
+    from aip_tpu.gs.train import stack_cameras
+    from aip_tpu.parallel.mesh import make_mesh
+    from aip_tpu.parallel import gs as pgs
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    cfg, cams, trainer = _recovery_setup(rng)
+    res = cams[0].image_height
+    arrays = [camera_to_arrays(c) for c in cams] * 2  # B=8
+    batch = stack_cameras(arrays)
+    bg = jnp.zeros(3)
+    step_ref = make_train_step(cfg, 3.0, "photometric", res, res,
+                               views_per_step=8)
+    t_single, m_single = step_ref(trainer, batch, None, bg)
+
+    mesh = make_mesh(jax.devices()[:8], axis_names=("dp",), shape=(8,))
+    step_gs = make_train_step(cfg, 3.0, "photometric", res, res,
+                              views_per_step=8, gaussian_shard=(mesh, "dp"))
+    trainer_r = pgs.replicate_trainer(mesh, trainer)
+    batch_s = pgs.shard_view_batch(mesh, batch)
+    bg_r = pgs.replicated_scalars(mesh, bg)
+    t_multi, m_multi = step_gs(trainer_r, batch_s, None, bg_r)
+
+    np.testing.assert_allclose(float(m_multi["loss"]), float(m_single["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_multi.gstate.xyz),
+                               np.asarray(t_single.gstate.xyz),
+                               rtol=1e-4, atol=1e-6)
+    # The field params are the ones whose gradients cross the shard_map
+    # boundary (psum of per-shard contributions).
+    np.testing.assert_allclose(np.asarray(t_multi.field.hash_tables),
+                               np.asarray(t_single.field.hash_tables),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t_multi.field.mlp_w1),
+                               np.asarray(t_single.field.mlp_w1),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_gaussian_sharded_single_view_step_matches(tmp_path, rng):
+    """gaussian_shard with views_per_step=1 (the sh precompute must slot
+    into the single-view path too)."""
+    from aip_tpu.parallel.mesh import make_mesh
+    from aip_tpu.parallel import gs as pgs
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    cfg, cams, trainer = _recovery_setup(rng)
+    res = cams[0].image_height
+    cam = camera_to_arrays(cams[0])
+    bg = jnp.zeros(3)
+    step_ref = make_train_step(cfg, 3.0, "photometric", res, res)
+    t_single, m_single = step_ref(trainer, cam, None, bg)
+
+    mesh = make_mesh(jax.devices()[:8], axis_names=("dp",), shape=(8,))
+    step_gs = make_train_step(cfg, 3.0, "photometric", res, res,
+                              gaussian_shard=(mesh, "dp"))
+    t_multi, m_multi = step_gs(pgs.replicate_trainer(mesh, trainer), cam,
+                               None, pgs.replicated_scalars(mesh, bg))
+
+    np.testing.assert_allclose(float(m_multi["loss"]), float(m_single["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_multi.field.hash_tables),
+                               np.asarray(t_single.field.hash_tables),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t_multi.gstate.xyz),
+                               np.asarray(t_single.gstate.xyz),
+                               rtol=1e-4, atol=1e-6)
