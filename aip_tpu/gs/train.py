@@ -304,9 +304,9 @@ def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
     def loss_fn(gparams, field, gstate, camera, style_f, bg, offs, rvq_s, rvq_r):
         gstate = _with_gparams(gstate, gparams)
         if n_views == 1:
-            # The colorfield is precomputed (and optionally Gaussian-sharded)
-            # even for a single view so the sharded and replicated paths stay
-            # one code path.
+            # Under gaussian_shard the colorfield is precomputed (sharded)
+            # and injected via sh_override; the replicated single-view step
+            # keeps computing it inside render, unchanged.
             sh1 = compute_sh(field, gstate, style_f) if gaussian_shard else None
             loss, ll1, radii = view_loss(gstate, field, camera,
                                          None if sh1 is not None else style_f,

@@ -29,19 +29,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def replicate_trainer(mesh: Mesh, trainer):
-    """Place every trainer leaf replicated over the mesh."""
+    """Place every trainer leaf replicated over the mesh (host numpy leaves
+    — e.g. from ``jax.device_get`` — are placed too, not silently skipped)."""
+    import numpy as np
+
     rep = NamedSharding(mesh, P())
     return jax.tree.map(
-        lambda x: jax.device_put(x, rep) if isinstance(x, jax.Array) else x,
+        lambda x: (jax.device_put(x, rep)
+                   if isinstance(x, (jax.Array, np.ndarray)) else x),
         trainer,
     )
 
 
 def shard_view_batch(mesh: Mesh, cams, axis: str = "dp"):
     """Shard a stacked CameraArrays batch's leading (view) axis over
-    ``axis``; scalar fields stay replicated."""
+    ``axis``; scalar fields (python ints like height/width) stay as-is."""
+    import numpy as np
+
     def put(x):
-        if isinstance(x, jax.Array) and x.ndim >= 1:
+        if isinstance(x, (jax.Array, np.ndarray)) and x.ndim >= 1:
             return jax.device_put(
                 x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))))
         return x
