@@ -13,6 +13,15 @@ def main(argv=None):
                         help="Enable depth-aware stylization of the guide images.")
     parser.add_argument("--iterations", type=int, default=15000)
     parser.add_argument("--freeze_iters", type=int, default=7000)
+    parser.add_argument("--views_per_step", type=int, default=1,
+                        help="Views per optimizer step (B reference "
+                             "iterations per step; TPU-first batching).")
+    parser.add_argument("--mesh_dp", type=int, default=0,
+                        help="Run multi-chip over the first N devices "
+                             "(view batches dp-sharded).")
+    parser.add_argument("--gaussian_shard", action="store_true",
+                        help="Also shard the colorfield over the Gaussian "
+                             "axis (needs --mesh_dp).")
     args = parser.parse_args(argv)
 
     from aip_tpu.gs.pipeline import run_3dgs_training, run_3dgs_rendering
@@ -21,6 +30,8 @@ def main(argv=None):
         args.content, args.style, model_path=args.output,
         iterations=args.iterations, freeze_iters=args.freeze_iters,
         use_depth=args.use_depth, depth_offset=0.5, depth_prominence=20,
+        views_per_step=args.views_per_step, mesh_dp=args.mesh_dp,
+        gaussian_shard=args.gaussian_shard,
     )
     gif = run_3dgs_rendering(args.style, model_path)
     print(f"Render GIF: {gif}")

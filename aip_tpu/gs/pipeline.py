@@ -23,6 +23,17 @@ from aip_tpu.gs import compress as compress_mod
 from aip_tpu.gs import gaussians as G
 
 
+def _make_dp_mesh(mesh_dp: int):
+    if mesh_dp and mesh_dp > 1:
+        import jax
+
+        from aip_tpu.parallel.mesh import make_mesh
+
+        return make_mesh(jax.devices()[:mesh_dp], axis_names=("dp",),
+                         shape=(mesh_dp,))
+    return None
+
+
 def run_3dgs_training(
     content_path,
     style_img_path,
@@ -45,9 +56,16 @@ def run_3dgs_training(
     max_per_tile: int = 128,
     macro_capacity: int = 1024,
     views_per_step: int = 1,
+    mesh_dp: int = 0,
+    gaussian_shard: bool = False,
 ) -> str:
     """Train a stylized 3DGS scene; saves a compressed model. Returns
-    model_path."""
+    model_path.
+
+    ``mesh_dp`` > 1 builds a (dp,) device mesh over the first mesh_dp
+    devices and runs the loop multi-chip (view batches dp-sharded;
+    ``gaussian_shard`` also shards the colorfield over the splat set —
+    see gs.train.train)."""
     cfg = GSTrainConfig(
         iterations=iterations, freeze_iters=freeze_iters,
         white_background=white_background, capacity=capacity,
@@ -67,6 +85,7 @@ def run_3dgs_training(
         checkpoint_dir=str(Path(model_path) / "checkpoints"),
         logger=logger,
         views_per_step=views_per_step,
+        mesh=_make_dp_mesh(mesh_dp), gaussian_shard=gaussian_shard,
     )
 
     out = Path(model_path)

@@ -468,6 +468,9 @@ def train(
     network_gui=None,
     views_per_step: int = 1,
     guide_batch: int = 8,
+    mesh=None,
+    mesh_axis: str = "dp",
+    gaussian_shard: bool = False,
 ):
     """Full two-phase stylized training. Returns (TrainerState, style_f).
 
@@ -481,6 +484,14 @@ def train(
     iteration domain; the optimizer applies 1/B as many Adam updates on
     B-view mean gradients (standard batching trade). Requires all train
     cameras at one resolution and iterations aligned to B.
+
+    ``mesh`` (a jax.sharding.Mesh) makes the loop multi-chip first-class:
+    the trainer is replicated over ``mesh_axis``, each step's view batch is
+    sharded over it (B % dp == 0), and with ``gaussian_shard=True`` the
+    colorfield compute additionally shards over the Gaussian axis
+    (parallel.gs.predict_sh_sharded) — XLA inserts the gradient psums. All
+    host-side machinery (densify/prune, recompaction, RVQ, checkpoints,
+    viewer) is sharding-transparent: it consumes replicated arrays.
     """
     from aip_tpu.pipelines.adain_infer import (
         adain_inference, get_style_embeddings, _to_array,
@@ -503,6 +514,25 @@ def train(
     if cfg.style_dim:
         feat = get_style_embeddings(_to_array(style_image))  # [1, h, w, 512]
         style_f = jnp.mean(feat, axis=(1, 2))  # adaptive_avg_pool2d to 1x1
+
+    _pgs = None
+    if mesh is not None:
+        from aip_tpu.parallel import gs as _pgs
+
+        dp = mesh.shape[mesh_axis]
+        if views_per_step > 1 and views_per_step % dp:
+            raise ValueError(f"views_per_step ({views_per_step}) must be a "
+                             f"multiple of mesh axis {mesh_axis!r} ({dp})")
+        if gaussian_shard and (dp & (dp - 1) or cfg.recompact_floor % dp):
+            raise ValueError(
+                "gaussian_shard needs a power-of-two mesh axis dividing "
+                f"recompact_floor (got dp={dp}, floor={cfg.recompact_floor})")
+        trainer = _pgs.replicate_trainer(mesh, trainer)
+        bg = _pgs.replicated_scalars(mesh, bg)
+        if style_f is not None:
+            style_f = _pgs.replicated_scalars(mesh, style_f)
+    elif gaussian_shard:
+        raise ValueError("gaussian_shard requires a mesh")
 
     cams = scene.getTrainCameras()
 
@@ -582,7 +612,14 @@ def train(
             step_cache[key_] = make_train_step(
                 cfg, scene.cameras_extent, phase, cam.image_height,
                 cam.image_width, use_rvq=use_rvq,
-                views_per_step=views_per_step)
+                views_per_step=views_per_step,
+                # dp-sharded view axis: per-device composite memory is
+                # already B/dp views — don't serialize it with host-size
+                # chunking (parallel/gs.py usage contract).
+                view_chunk=(views_per_step
+                            if mesh is not None and views_per_step > 1
+                            else None),
+                gaussian_shard=((mesh, mesh_axis) if gaussian_shard else None))
         return step_cache[key_]
 
     # Quantization-aware fine-tune boundary: the reference runs the final
@@ -690,6 +727,8 @@ def train(
         arrays = cam_arrays if phase == "photometric" else guide_arrays
         batch = (arrays[ci] if B == 1
                  else stack_cameras([arrays[c] for c in cis]))
+        if _pgs is not None and B > 1:
+            batch = _pgs.shard_view_batch(mesh, batch, axis=mesh_axis)
         trainer, metrics = get_step(phase, cams[ci], use_rvq)(
             trainer, batch, style_f, bg)
 

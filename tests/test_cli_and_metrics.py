@@ -318,3 +318,24 @@ def test_lpips_net_variants(rng):
         d_diff = float(lpips(a, b, params, net=net)[0])
         assert d_same < 1e-6, (net, d_same)
         assert d_diff > d_same, net
+
+
+def test_run_3dgs_cli_mesh_flags(monkeypatch):
+    """The multi-chip flags reach run_3dgs_training (parity surface:
+    reference run_3dgs.py is single-GPU; --mesh_dp/--gaussian_shard are the
+    TPU scale-out additions)."""
+    import aip_tpu.gs.pipeline as pipe
+    from aip_tpu.cli import run_3dgs as cli
+
+    seen = {}
+
+    def fake_train(content, style, **kw):
+        seen.update(kw)
+        return "model_dir"
+
+    monkeypatch.setattr(pipe, "run_3dgs_training", fake_train)
+    monkeypatch.setattr(pipe, "run_3dgs_rendering", lambda *a, **k: "out.gif")
+    cli.main(["--content", "c", "--style", "s", "--views_per_step", "4",
+              "--mesh_dp", "8", "--gaussian_shard"])
+    assert seen["views_per_step"] == 4
+    assert seen["mesh_dp"] == 8 and seen["gaussian_shard"] is True

@@ -672,3 +672,49 @@ def test_gaussian_sharded_single_view_step_matches(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(t_multi.gstate.xyz),
                                np.asarray(t_single.gstate.xyz),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_train_loop_on_mesh_matches_single_device(tmp_path, rng, monkeypatch,
+                                                  style_img):
+    """First-class multi-chip train(): the full loop with mesh= (trainer
+    replicated, view batches dp-sharded, colorfield Gaussian-sharded) must
+    produce the same parameters as the plain single-device loop."""
+    from aip_tpu.models import weights as weights_mod
+    from aip_tpu.parallel.mesh import make_mesh
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+    scene = _make_scene(tmp_path, rng)
+    scene.scene_info.point_cloud.points = scene.scene_info.point_cloud.points[:64]
+    scene.scene_info.point_cloud.colors = scene.scene_info.point_cloud.colors[:64]
+    cfg = _tiny_cfg(iterations=16, freeze_iters=16, densify_from_iter=10**6,
+                    mask_prune_iter=10**6, recompact_floor=8,
+                    capacity=128)
+
+    t_ref, _ = train(scene, style_img, cfg, img_size=32,
+                     guide_dir=str(tmp_path / "g1"), views_per_step=8, seed=3)
+
+    mesh = make_mesh(jax.devices()[:8], axis_names=("dp",), shape=(8,))
+    t_mesh, _ = train(scene, style_img, cfg, img_size=32,
+                      guide_dir=str(tmp_path / "g2"), views_per_step=8,
+                      seed=3, mesh=mesh, gaussian_shard=True)
+
+    np.testing.assert_allclose(np.asarray(t_mesh.gstate.xyz),
+                               np.asarray(t_ref.gstate.xyz),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t_mesh.field.hash_tables),
+                               np.asarray(t_ref.field.hash_tables),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_train_loop_gaussian_shard_requires_mesh(tmp_path, rng, monkeypatch,
+                                                 style_img):
+    from aip_tpu.models import weights as weights_mod
+
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+    scene = _make_scene(tmp_path, rng)
+    with pytest.raises(ValueError, match="requires a mesh"):
+        train(scene, style_img, _tiny_cfg(), img_size=32,
+              guide_dir=str(tmp_path / "g"), gaussian_shard=True)
