@@ -161,3 +161,57 @@ def test_params_jit_traceable_as_argument(rng):
                                        predictor_trunk=trunk)
         out = np.asarray(fn(params, content, style))
         assert out.shape == (1, 32, 32, 3) and np.isfinite(out).all(), trunk
+
+
+def test_distillation_reduces_loss(tmp_path, rng, monkeypatch):
+    """The fast-stylizer distillation trainer (models/magenta_train.py):
+    a short run on tiny data must reduce the distillation loss and produce
+    a loadable stylizer npz (the TPU-native replacement for the
+    reference's pretrained hub module, video/utils.py:14)."""
+    from aip_tpu.models import weights as weights_mod
+    from aip_tpu.models.magenta_train import (distill_loss,
+                                              train_magenta_distill)
+
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+    for d in ("content", "style"):
+        (tmp_path / d).mkdir()
+        for i in range(3):
+            Image.fromarray((rng.random((80, 80, 3)) * 255).astype(np.uint8)
+                            ).save(tmp_path / d / f"{i}.jpg")
+
+    params0 = M.init_magenta_params(jax.random.PRNGKey(0))
+    vggp = weights_mod.get_vgg_params()
+    decp = weights_mod.get_decoder_params()
+    content = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+    style = jnp.asarray(rng.random((64, 64, 3)).astype(np.float32))
+    l0 = float(distill_loss(params0, vggp, decp, content, style))
+
+    save_p = tmp_path / "m.npz"
+    params, l1 = train_magenta_distill(
+        str(tmp_path / "content"), str(tmp_path / "style"), steps=12,
+        batch_size=2, crop=64, lr=3e-3, save_path=save_p, save_every=12,
+        log_every=0, seed=0, params=params0)
+    l_after = float(distill_loss(params, vggp, decp, content, style))
+    assert np.isfinite(l1) and l_after < l0, (l0, l_after)
+
+    params2 = M.load_magenta_npz(save_p)
+    out = M.stylize(params2, content, style)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_train_magenta_cli(tmp_path, rng, monkeypatch):
+    from aip_tpu.cli import train_magenta as cli
+    from aip_tpu.models import weights as weights_mod
+
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+    for d in ("content", "style"):
+        (tmp_path / d).mkdir()
+        for i in range(2):
+            Image.fromarray((rng.random((72, 72, 3)) * 255).astype(np.uint8)
+                            ).save(tmp_path / d / f"{i}.jpg")
+    save_p = tmp_path / "out" / "m.npz"
+    got = cli.main(["--content_dir", str(tmp_path / "content"),
+                    "--style_dir", str(tmp_path / "style"),
+                    "--save_path", str(save_p), "--max_iter", "2",
+                    "--batch_size", "2", "--crop", "64"])
+    assert got == str(save_p) and save_p.exists()
