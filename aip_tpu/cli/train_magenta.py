@@ -34,16 +34,9 @@ def main(argv=None):
     from pathlib import Path
 
     from aip_tpu.models.magenta_train import train_magenta_distill
+    from aip_tpu.parallel.mesh import make_dp_mesh
 
-    mesh = None
-    if args.mesh_dp > 1:
-        import jax
-
-        from aip_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh(jax.devices()[:args.mesh_dp], axis_names=("dp",),
-                         shape=(args.mesh_dp,))
-
+    mesh = make_dp_mesh(args.mesh_dp)
     Path(args.save_path).parent.mkdir(parents=True, exist_ok=True)
     _, loss = train_magenta_distill(
         args.content_dir, args.style_dir, steps=args.max_iter,

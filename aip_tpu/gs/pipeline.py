@@ -21,17 +21,7 @@ from aip_tpu.gs.dataset import Scene
 from aip_tpu.gs.train import GSTrainConfig, train, camera_to_arrays, make_settings_from_dims
 from aip_tpu.gs import compress as compress_mod
 from aip_tpu.gs import gaussians as G
-
-
-def _make_dp_mesh(mesh_dp: int):
-    if mesh_dp and mesh_dp > 1:
-        import jax
-
-        from aip_tpu.parallel.mesh import make_mesh
-
-        return make_mesh(jax.devices()[:mesh_dp], axis_names=("dp",),
-                         shape=(mesh_dp,))
-    return None
+from aip_tpu.parallel.mesh import make_dp_mesh as _dp_mesh
 
 
 def run_3dgs_training(
@@ -85,7 +75,7 @@ def run_3dgs_training(
         checkpoint_dir=str(Path(model_path) / "checkpoints"),
         logger=logger,
         views_per_step=views_per_step,
-        mesh=_make_dp_mesh(mesh_dp), gaussian_shard=gaussian_shard,
+        mesh=_dp_mesh(mesh_dp), gaussian_shard=gaussian_shard,
     )
 
     out = Path(model_path)

@@ -305,12 +305,15 @@ def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
         gstate = _with_gparams(gstate, gparams)
         if n_views == 1:
             # Under gaussian_shard the colorfield is precomputed (sharded)
-            # and injected via sh_override; the replicated single-view step
-            # keeps computing it inside render, unchanged.
-            sh1 = compute_sh(field, gstate, style_f) if gaussian_shard else None
-            loss, ll1, radii = view_loss(gstate, field, camera,
-                                         None if sh1 is not None else style_f,
-                                         bg, offs, rvq_s, rvq_r, sh=sh1)
+            # and injected via sh_override (style conditioning folded in);
+            # the replicated single-view step keeps computing it inside
+            # render, unchanged.
+            if gaussian_shard:
+                sh1, sty1 = compute_sh(field, gstate, style_f), None
+            else:
+                sh1, sty1 = None, style_f
+            loss, ll1, radii = view_loss(gstate, field, camera, sty1, bg,
+                                         offs, rvq_s, rvq_r, sh=sh1)
             return loss, (ll1, radii)
         # Batched path: the view-invariant colorfield (hashgrid + MLP -> SH,
         # the dominant cost) runs ONCE for the batch; views then render in

@@ -22,10 +22,8 @@ mesh axis if given (gradients psum'd by XLA).
 
 from __future__ import annotations
 
-import functools
 from pathlib import Path
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
@@ -100,6 +98,7 @@ def train_magenta_distill(
     """
     from aip_tpu.data.images import FlatFolderDataset, infinite_batches
     from aip_tpu.models import weights as weights_mod
+    from aip_tpu.parallel.train import make_optimizer
 
     vgg_params = weights_mod.get_vgg_params()
     dec_params = weights_mod.get_decoder_params()
@@ -107,8 +106,7 @@ def train_magenta_distill(
         params = M.init_magenta_params(jax.random.PRNGKey(seed),
                                        predictor_trunk=predictor_trunk)
 
-    schedule = lambda count: lr / (1.0 + lr_decay * count)  # noqa: E731
-    optimizer = optax.adam(schedule)
+    optimizer = make_optimizer(lr, lr_decay)  # reference inverse-linear decay
     opt_state = optimizer.init(params)
     step = make_distill_step(optimizer, vgg_params, dec_params,
                              lambda_feat=lambda_feat)

@@ -35,3 +35,11 @@ def make_mesh(devices=None, axis_names=("dp", "tp"), shape=None) -> Mesh:
         raise ValueError(f"mesh shape {shape} != {n} devices")
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, axis_names)
+
+
+def make_dp_mesh(n: int) -> "Mesh | None":
+    """(dp,) mesh over the first ``n`` devices, or None for n <= 1 — the
+    shared constructor behind every --mesh_dp CLI flag."""
+    if not n or n <= 1:
+        return None
+    return make_mesh(jax.devices()[:n], axis_names=("dp",), shape=(n,))
