@@ -33,7 +33,7 @@ def main(argv=None):
         views_per_step=args.views_per_step, mesh_dp=args.mesh_dp,
         gaussian_shard=args.gaussian_shard,
     )
-    gif = run_3dgs_rendering(args.style, model_path)
+    gif = run_3dgs_rendering(args.style, model_path, mesh_dp=args.mesh_dp)
     print(f"Render GIF: {gif}")
     return gif
 

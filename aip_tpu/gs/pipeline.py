@@ -102,9 +102,14 @@ def run_3dgs_rendering(
     max_per_tile: int = 128,
     fps: int = 10,
     renderer: str = "auto",
+    mesh_dp: int = 0,
 ) -> str:
     """Render the trained scene under a (possibly new) style; returns the
-    GIF path (render.py:51-113 parity)."""
+    GIF path (render.py:51-113 parity).
+
+    ``mesh_dp`` > 1 renders with the Gaussian arrays SHARDED over a (dp,)
+    mesh (parallel.gs.rasterize_sharded) — the model-parallel path for
+    splat sets beyond one chip's HBM; exact vs the replicated renderer."""
     from PIL import Image
 
     from aip_tpu.gs.render import fit_macro_capacity, render
@@ -136,6 +141,7 @@ def run_3dgs_rendering(
 
     out_dir = Path(output_dir or (model_path / "renders"))
     out_dir.mkdir(parents=True, exist_ok=True)
+    mesh = _dp_mesh(mesh_dp)
     frames = []
     for i, cam in enumerate(cams_all):
         settings = RasterSettings(
@@ -143,7 +149,7 @@ def run_3dgs_rendering(
             max_per_tile=max_per_tile, macro_capacity=macro_kc,
         )
         out = render(cam, state, field, bg, style_f=style_f, mode="inference",
-                     settings=settings, renderer=renderer)
+                     settings=settings, renderer=renderer, mesh=mesh)
         img = np.clip(np.asarray(out.render), 0, 1)
         im = Image.fromarray((img * 255).astype(np.uint8))
         im.save(out_dir / f"{i:05d}.png")

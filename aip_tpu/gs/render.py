@@ -127,6 +127,8 @@ def render(
     use_pallas: bool = False,
     renderer: str = "auto",   # 'auto' | 'xla' | 'pallas' | 'matmul'
     sh_override: jax.Array | None = None,
+    mesh=None,
+    mesh_axis: str = "dp",
 ) -> RenderOutput:
     if settings is None:
         settings = make_settings(camera)
@@ -169,6 +171,25 @@ def render(
     else:
         sh = predict_sh(field, xyz, style_f, precomputed_enc=precomputed_enc)
     colors = _sh_colors(sh, xyz, campos)
+
+    if mesh is not None and mode == "inference":
+        # Gaussian-sharded rendering (parallel/gs.py): splat set sharded
+        # over the mesh, all_to_all to block sharding, exact vs replicated.
+        # Eager path (per-frame device_put placements) — inference only.
+        from aip_tpu.parallel.gs import rasterize_sharded, shard_gaussian_arrays
+
+        if settings.macro <= 1:
+            settings = settings._replace(
+                macro=4, macro_capacity=max(settings.macro_capacity, 1024))
+        if scaling_modifier != 1.0:
+            scales = scales * scaling_modifier
+        sharded = shard_gaussian_arrays(mesh, xyz, scales, rotations,
+                                        opacity, colors, axis=mesh_axis)
+        img, radii = rasterize_sharded(
+            mesh, *sharded, vm, pm, jnp.asarray(bg_color, jnp.float32),
+            settings, tanfovx=tanfovx, tanfovy=tanfovy, axis=mesh_axis)
+        return RenderOutput(render=img, radii=radii,
+                            visibility=(radii > 0) & active)
 
     if renderer == "auto":
         if use_pallas:

@@ -124,6 +124,7 @@ def rasterize_sharded(
 
     Per-Gaussian inputs must be jax.Arrays placed with their leading axis
     sharded over ``axis`` (see shard_gaussian_arrays); N % dp == 0.
+    Returns (image [H, W, 3], radii [N]) like the single-device backends.
     """
     import math
 
@@ -170,23 +171,23 @@ def rasterize_sharded(
 
         block0 = jax.lax.axis_index(axis) * (blocks_pad // dp)
         rgb = composite_raw_blocks(raw, counts, bg, bs, mtw, block0)
-        return jax.lax.all_gather(rgb, axis, axis=0, tiled=True)
+        return jax.lax.all_gather(rgb, axis, axis=0, tiled=True), radii
 
     g_spec = P(axis)
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(g_spec, g_spec, g_spec, g_spec, g_spec, P(), P(), P()),
-        out_specs=P(),
+        out_specs=(P(), P(axis)),
         check_vma=False,
     )
-    blocks = fn(means3d, scales, rotations, opacities, colors,
-                jnp.asarray(viewmatrix, jnp.float32),
-                jnp.asarray(projmatrix, jnp.float32),
-                jnp.asarray(bg_color, jnp.float32))          # [Bpad, P, 3]
+    blocks, radii = fn(means3d, scales, rotations, opacities, colors,
+                       jnp.asarray(viewmatrix, jnp.float32),
+                       jnp.asarray(projmatrix, jnp.float32),
+                       jnp.asarray(bg_color, jnp.float32))   # [Bpad, P, 3]
     blocks = blocks[:n_blocks]
     img = blocks.reshape(mth, mtw, bs, bs, 3).transpose(0, 2, 1, 3, 4)
     img = img.reshape(mth * bs, mtw * bs, 3)
-    return img[: settings.image_height, : settings.image_width]
+    return img[: settings.image_height, : settings.image_width], radii
 
 
 def shard_gaussian_arrays(mesh: Mesh, *arrays, axis: str = "dp"):
