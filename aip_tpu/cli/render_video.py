@@ -16,6 +16,9 @@ def main(argv=None):
     parser.add_argument("--std", type=float, default=0.03)
     parser.add_argument("--mean", type=float, default=0.0)
     parser.add_argument("--fps", type=int, default=30)
+    parser.add_argument("--mesh_dp", type=int, default=0,
+                        help="Gaussian-sharded rendering over the first N "
+                             "devices (splat sets beyond one chip's HBM).")
     args = parser.parse_args(argv)
 
     from aip_tpu.gs import render_video as rv
@@ -23,7 +26,8 @@ def main(argv=None):
     outputs = []
     if args.video or not (args.circular or args.gaussians):
         outputs.append(rv.render_video(args.model_path, args.style,
-                                       n_frames=args.n_frames, fps=args.fps))
+                                       n_frames=args.n_frames, fps=args.fps,
+                                       mesh_dp=args.mesh_dp))
     if args.circular:
         outputs.append(rv.render_circular_video(args.model_path, args.style,
                                                 radius=args.radius,

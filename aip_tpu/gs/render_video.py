@@ -24,21 +24,24 @@ def _load(model_path):
     return state, field, scene, bg
 
 
-def _render_cams(cams, state, field, bg, style_f, out_dir, max_per_tile=128):
+def _render_cams(cams, state, field, bg, style_f, out_dir, max_per_tile=128,
+                 mesh_dp: int = 0):
     from PIL import Image
 
     from aip_tpu.gs.render import render
     from aip_tpu.gs.rasterizer import RasterSettings
+    from aip_tpu.parallel.mesh import make_dp_mesh
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    mesh = make_dp_mesh(mesh_dp)  # Gaussian-sharded rendering when > 1
     paths = []
     for i, cam in enumerate(cams):
         settings = RasterSettings(image_height=cam.image_height,
                                   image_width=cam.image_width,
                                   max_per_tile=max_per_tile)
         out = render(cam, state, field, bg, style_f=style_f, mode="inference",
-                     settings=settings)
+                     settings=settings, mesh=mesh)
         img = (np.clip(np.asarray(out.render), 0, 1) * 255).astype(np.uint8)
         p = out_dir / f"{i:05d}.png"
         Image.fromarray(img).save(p)
@@ -56,7 +59,8 @@ def _style_embedding(field, style_image):
 
 
 def render_video(model_path, style_image=None, n_frames: int = 600,
-                 fps: int = 30, max_per_tile: int = 128) -> str:
+                 fps: int = 30, max_per_tile: int = 128,
+                 mesh_dp: int = 0) -> str:
     """Ellipse-path video (render_video.py:61-72). Returns the mp4 path."""
     from aip_tpu.gs.pose_paths import generate_ellipse_path, apply_pose
     from aip_tpu.pipelines.video import frames_to_video
@@ -67,7 +71,8 @@ def render_video(model_path, style_image=None, n_frames: int = 600,
     poses = generate_ellipse_path(views, n_frames=n_frames)
     cams = [apply_pose(views[0], p) for p in poses]
     out_dir = Path(model_path) / "video" / "ellipse"
-    paths = _render_cams(cams, state, field, bg, style_f, out_dir, max_per_tile)
+    paths = _render_cams(cams, state, field, bg, style_f, out_dir,
+                         max_per_tile, mesh_dp)
     # frames_to_video consumes .jpg; write an mp4 directly from pngs.
     import cv2
 
