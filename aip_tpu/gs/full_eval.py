@@ -27,6 +27,9 @@ def run_full_eval(
     skip_metrics=False,
     iterations: int = 15_000,
     freeze_iters: int = 7_000,
+    views_per_step: int = 1,
+    mesh_dp: int = 0,
+    gaussian_shard: bool = False,
 ):
     from aip_tpu.gs.pipeline import run_3dgs_training, run_3dgs_rendering
     from aip_tpu.gs.metrics_cli import evaluate
@@ -48,9 +51,11 @@ def run_full_eval(
         model_paths.append(model_path)
         if not skip_training:
             run_3dgs_training(source, style_image, model_path=model_path,
-                              iterations=iterations, freeze_iters=freeze_iters)
+                              iterations=iterations, freeze_iters=freeze_iters,
+                              views_per_step=views_per_step, mesh_dp=mesh_dp,
+                              gaussian_shard=gaussian_shard)
         if not skip_rendering:
-            run_3dgs_rendering(style_image, model_path)
+            run_3dgs_rendering(style_image, model_path, mesh_dp=mesh_dp)
     if not skip_metrics:
         return evaluate(model_paths)
     return {}
@@ -66,11 +71,15 @@ def main(argv=None):
     parser.add_argument("--mipnerf360", "-m360", type=str, default=None)
     parser.add_argument("--tanksandtemples", "-tat", type=str, default=None)
     parser.add_argument("--deepblending", "-db", type=str, default=None)
+    parser.add_argument("--views_per_step", type=int, default=1)
+    parser.add_argument("--mesh_dp", type=int, default=0)
+    parser.add_argument("--gaussian_shard", action="store_true")
     args = parser.parse_args(argv)
     out = run_full_eval(
         args.style, args.output_path, args.mipnerf360, args.tanksandtemples,
         args.deepblending, args.skip_training, args.skip_rendering,
-        args.skip_metrics,
+        args.skip_metrics, views_per_step=args.views_per_step,
+        mesh_dp=args.mesh_dp, gaussian_shard=args.gaussian_shard,
     )
     print(out)
 
