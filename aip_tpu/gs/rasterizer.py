@@ -548,6 +548,11 @@ def composite_tiles_fast(sel_idx, mean2d, conics, colors, opacities,
     return img[: settings.image_height, : settings.image_width]
 
 
+def _composite_ad_call(fn, tile_w, interpret, m, c, col, o, v, bg):
+    """Operand-order shim for lax.platform_dependent (static args first)."""
+    return fn(m, c, col, o, v, tile_w, interpret, bg)
+
+
 @functools.partial(jax.jit, static_argnames=("settings",))
 def rasterize(
     means3d: jax.Array,
@@ -590,10 +595,16 @@ def rasterize(
         th, tw = _tile_grid(settings)
         slot_valid = (sel_idx >= 0).astype(jnp.float32)[:, :, None]
         safe = jnp.maximum(sel_idx, 0)
-        tiles = composite_tiles_ad(
+        # Platform-resolved interpret flag: the streamed kernel lowers
+        # natively on TPU and in interpret mode elsewhere (CPU tests).
+        tiles = jax.lax.platform_dependent(
             mean2d[safe], conics[safe], colors[safe],
-            opacities[safe][:, :, None], slot_valid, tw, False,
+            opacities[safe][:, :, None], slot_valid,
             jnp.broadcast_to(bg_color[None, :], (1, 3)),
+            tpu=functools.partial(_composite_ad_call, composite_tiles_ad,
+                                  tw, False),
+            default=functools.partial(_composite_ad_call, composite_tiles_ad,
+                                      tw, True),
         )
         img = tiles.reshape(th, tw, 3, TILE, TILE).transpose(0, 3, 1, 4, 2)
         img = img.reshape(th * TILE, tw * TILE, 3)

@@ -84,6 +84,13 @@ class GSTrainConfig:
     # rasterizer work track the live count instead of the initial cloud.
     # Set floor=0 to disable (fixed capacity for the whole run).
     recompact_floor: int = 8192
+    # Streamed-composite threshold: when ONE view's dense autodiff
+    # intermediates ([tiles, K, 256] fp32) exceed this many bytes, no
+    # amount of view chunking or remat bounds the working set — training
+    # switches to the streamed Pallas custom-VJP composite (constant VMEM;
+    # ops/pallas/composite_ad.py, ~35% slower per step where both fit, see
+    # BENCHMARKS.md "Differentiable composite backends").
+    ad_stream_above_bytes: int = 2 << 30
 
 
 class CameraArrays(NamedTuple):
@@ -408,12 +415,20 @@ def make_settings_from_dims(height: int, width: int, cfg: GSTrainConfig,
     # recompute. ``views`` is the vmapped view batch (views_per_step) —
     # the batch multiplies every composite intermediate.
     n_tiles = ((height + 15) // 16) * ((width + 15) // 16)
-    remat = views * n_tiles * cfg.max_per_tile * 256 * 4 > (1 << 29)
+    per_view = n_tiles * cfg.max_per_tile * 256 * 4
+    remat = views * per_view > (1 << 29)
+    # When even a SINGLE view's dense intermediates exceed the streaming
+    # threshold, chunking (vchunk=1) and remat can no longer bound the
+    # autodiff working set — fall back to the streamed Pallas custom-VJP
+    # composite, whose working set is constant in resolution. Remat is
+    # meaningless there (the kernel never materializes the dense buffers).
+    ad_backend = "pallas" if per_view > cfg.ad_stream_above_bytes else "xla"
     return RasterSettings(
         image_height=height, image_width=width,
         max_per_tile=cfg.max_per_tile, chunk=cfg.raster_chunk,
         macro=macro, macro_capacity=cfg.macro_capacity,
-        remat_composite=remat,
+        remat_composite=remat and ad_backend == "xla",
+        ad_backend=ad_backend,
     )
 
 

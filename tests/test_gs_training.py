@@ -350,6 +350,54 @@ def test_batched_step_matches_mean_gradient(tmp_path, rng):
     assert np.isfinite(np.asarray(tB.gstate.xyz)).all()
 
 
+def test_settings_builder_streams_composite_above_budget(rng):
+    """make_settings_from_dims switches to the streamed Pallas custom-VJP
+    composite when ONE view's dense autodiff intermediates exceed
+    cfg.ad_stream_above_bytes (chunking/remat can't bound that case), and
+    stays on XLA autodiff below it."""
+    from dataclasses import replace
+
+    from aip_tpu.gs.train import make_settings_from_dims
+
+    cfg = _tiny_cfg()
+    s = make_settings_from_dims(512, 512, cfg)
+    assert s.ad_backend == "xla"
+
+    # 32x32 @ max_per_tile=32: per-view dense bytes = 4 tiles*32*256*4.
+    forced = replace(cfg, ad_stream_above_bytes=4 * 32 * 256 * 4 - 1)
+    s2 = make_settings_from_dims(32, 32, forced)
+    assert s2.ad_backend == "pallas"
+    assert not s2.remat_composite  # meaningless for the streamed kernel
+
+
+def test_streamed_composite_train_step_matches_xla(tmp_path, rng):
+    """One train step with the auto-selected streamed composite backend
+    must numerically match the default XLA-autodiff step (loss + updated
+    positions + field params)."""
+    from dataclasses import replace
+
+    cfg, cams, trainer = _recovery_setup(rng)
+    res = cams[0].image_height
+    arr = camera_to_arrays(cams[0])
+    bg = jnp.zeros(3)
+
+    step_xla = make_train_step(cfg, 3.0, "photometric", res, res)
+    cfg_pal = replace(cfg, ad_stream_above_bytes=1)
+    step_pal = make_train_step(cfg_pal, 3.0, "photometric", res, res)
+
+    t_x, m_x = step_xla(trainer, arr, None, bg)
+    t_p, m_p = step_pal(trainer, arr, None, bg)
+
+    np.testing.assert_allclose(float(m_p["loss"]), float(m_x["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_p.gstate.xyz),
+                               np.asarray(t_x.gstate.xyz),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t_p.field.mlp_w1),
+                               np.asarray(t_x.field.mlp_w1),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_multichip_gs_step_matches_single_device(tmp_path, rng):
     """VERDICT r1 item #5: the dp-sharded 3DGS train step on the 8-device
     mesh must numerically match the same step run on one device."""
