@@ -185,3 +185,38 @@ def test_render_entrypoint_sharded_matches_replicated(rng):
     np.testing.assert_allclose(np.asarray(got.render),
                                np.asarray(want.render), atol=1e-4)
     np.testing.assert_allclose(np.asarray(got.radii), np.asarray(want.radii))
+
+
+def test_predict_sh_sharded_style_branch_matches(rng):
+    """The style-conditioned branch of predict_sh_sharded (style_f is an
+    explicit replicated shard_map arg): forward and field gradients must
+    match the replicated predict_sh."""
+    import jax.numpy as jnp
+
+    from aip_tpu.gs.colorfield import init_colorfield, predict_sh
+    from aip_tpu.parallel.gs import predict_sh_sharded
+    from aip_tpu.parallel.mesh import make_mesh
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    # Sizes are irrelevant to coverage here and barely move the cost —
+    # the ~10 min CPU wall-clock is XLA compile of grad-of-shard_map —
+    # so keep everything minimal.
+    field = init_colorfield(jax.random.PRNGKey(0), log2_hashmap=8,
+                            style_dim=8)
+    xyz = jnp.asarray((rng.random((32, 3)) * 2 - 1).astype(np.float32))
+    style_f = jnp.asarray(rng.random((1, 512)).astype(np.float32))
+    mesh = make_mesh(jax.devices()[:8], axis_names=("dp",), shape=(8,))
+
+    ref = predict_sh(field, xyz, style_f)
+    got = predict_sh_sharded(mesh, field, xyz, style_f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    g_ref = jax.grad(lambda f: jnp.sum(predict_sh(f, xyz, style_f) ** 2))(field)
+    g_sh = jax.grad(lambda f: jnp.sum(
+        predict_sh_sharded(mesh, f, xyz, style_f) ** 2))(field)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_sh)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-4)
