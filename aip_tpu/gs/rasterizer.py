@@ -86,6 +86,12 @@ class RasterSettings(NamedTuple):
     # matmuls, count-bounded with early exit — fastest at high
     # resolution; ops/pallas/composite.py).
     composite_backend: str = "matmul"
+    # Opacity-aware selection extent (selection_radii): shrink each
+    # splat's candidate footprint from the 3-sigma ellipse to its exact
+    # alpha >= 1/255 isoline. Mathematically exact for images and
+    # gradients (only fp summation-order noise); cuts per-block demand
+    # for dim splats. Off switch exists for A/B benching.
+    opacity_cull: bool = True
 
 
 def project_gaussians(
@@ -517,7 +523,34 @@ def select_per_tile_hierarchical(mean2d, depths, radii, valid,
     return sel_i, sel_d
 
 
-def _select(mean2d, depths, radii, valid, settings: RasterSettings):
+def selection_radii(radii, opacities):
+    """Opacity-aware candidate extent (exact demand reduction).
+
+    Every composite backend zeroes contributions with
+    ``alpha = opacity * exp(-q/2) < 1/255`` (the CUDA rasterizer's skip,
+    see composite_tiles / composite_raw_blocks / the Pallas kernels), so a
+    splat can only matter inside its ``q <= q_cut = 2 ln(255 opacity)``
+    isoline. ``radii`` encodes the q=9 (3 sigma) bound
+    ``ceil(3 sqrt(lambda1))``; scaling by ``sqrt(q_cut/9)`` (clipped to
+    [0, 1] — never enlarges, so the reference's 3-sigma footprint stays
+    the ceiling) bounds the q_cut isoline instead. Selection with the
+    tightened radius admits every pair the composite can use, so images
+    AND gradients are mathematically exact (the sub-cutoff branch of the
+    composite is a hard zero with zero cotangent; only ~1e-7 fp
+    summation-order noise from shifted slot layouts remains — see
+    test_opacity_cull_exact_and_reduces_demand) while demand shrinks
+    sharply for dim splats — an opacity reset leaves the whole scene at
+    op=0.01, where q_cut=1.87 means a 4.8x smaller footprint area.
+    """
+    q_cut = 2.0 * jnp.log(255.0 * jnp.maximum(opacities, 1e-12))
+    s = jnp.sqrt(jnp.clip(q_cut / 9.0, 0.0, 1.0))
+    return jnp.ceil(radii * jax.lax.stop_gradient(s))
+
+
+def _select(mean2d, depths, radii, valid, settings: RasterSettings,
+            opacities=None):
+    if opacities is not None and settings.opacity_cull:
+        radii = selection_radii(radii, opacities)
     if settings.macro > 1:
         return select_per_tile_hierarchical(mean2d, depths, radii, valid, settings)
     return select_per_tile(mean2d, depths, radii, valid, settings)
@@ -588,6 +621,7 @@ def rasterize(
     sel_idx, sel_depth = _select(
         mean2d, jax.lax.stop_gradient(depths), jax.lax.stop_gradient(radii),
         valid_sel, settings,
+        opacities=jax.lax.stop_gradient(opacities),
     )
     if settings.ad_backend == "pallas":
         from aip_tpu.ops.pallas.composite_ad import composite_tiles_ad
@@ -807,7 +841,9 @@ def rasterize_matmul(
     # Zero-opacity splats composite to nothing but would eat capped
     # candidate slots; filter them out of the binning.
     valid = valid & (opacities > (1.0 / 255.0))
-    macro_idx, _ = _macro_select(mean2d, depths, radii, valid, settings,
+    radii_sel = (selection_radii(radii, opacities)
+                 if settings.opacity_cull else radii)
+    macro_idx, _ = _macro_select(mean2d, depths, radii_sel, valid, settings,
                                  mth, mtw)
     if settings.composite_backend == "mxu":
         img = _composite_macro_mxu(macro_idx, mean2d, conics, colors,
@@ -859,7 +895,9 @@ def rasterize_fused(
     mth = math.ceil(th / m)
     mtw = math.ceil(tw / m)
     valid = valid & (opacities > (1.0 / 255.0))
-    macro_idx, _ = _macro_select(mean2d, depths, radii, valid, settings,
+    radii_sel = (selection_radii(radii, opacities)
+                 if settings.opacity_cull else radii)
+    macro_idx, _ = _macro_select(mean2d, depths, radii_sel, valid, settings,
                                  mth, mtw)
     mvalid = macro_idx >= 0
     safe = jnp.maximum(macro_idx, 0)
@@ -897,7 +935,8 @@ def rasterize_fast(
         means3d, scales, rotations, viewmatrix, projmatrix,
         tanfovx, tanfovy, settings, scale_modifier,
     )
-    sel_idx, _ = _select(mean2d, depths, radii, valid, settings)
+    sel_idx, _ = _select(mean2d, depths, radii, valid, settings,
+                         opacities=opacities)
     img = composite_tiles_fast(sel_idx, mean2d, conics, colors, opacities,
                                bg_color, settings, interpret=interpret)
     return img, radii

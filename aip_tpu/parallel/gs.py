@@ -129,8 +129,9 @@ def rasterize_sharded(
     import math
 
     from aip_tpu.gs.rasterizer import (TILE, project_gaussians,
-                                       select_macro_pairsort, _tile_grid,
-                                       pack_raw_table, composite_raw_blocks)
+                                       select_macro_pairsort, selection_radii,
+                                       _tile_grid, pack_raw_table,
+                                       composite_raw_blocks)
 
     assert settings.macro > 1, "rasterize_sharded needs hierarchical settings"
     dp = mesh.shape[axis]
@@ -146,7 +147,12 @@ def rasterize_sharded(
     def shard_fn(xyz, sc, rot, op, col, view, proj, bg):
         mean2d, depths, conics, radii, valid = project_gaussians(
             xyz, sc, rot, view, proj, tanfovx, tanfovy, settings)
-        idx, _ = select_macro_pairsort(mean2d, depths, radii, valid,
+        # Same opacity-aware footprint tightening as the replicated
+        # backends (selection_radii): exact, and it stops zero-opacity
+        # pad slots from occupying candidate capacity.
+        radii_sel = (selection_radii(radii, op)
+                     if settings.opacity_cull else radii)
+        idx, _ = select_macro_pairsort(mean2d, depths, radii_sel, valid,
                                        mth, mtw, settings)  # [B, Kc] local
         table = pack_raw_table(mean2d, conics, op, col)
         raw = table[jnp.maximum(idx, 0)]                     # [B, Kc, 16]

@@ -431,3 +431,134 @@ def test_fit_macro_capacity(rng):
     assert fit_macro_capacity(state, [cam], hi=1280) == 1280
     # No cameras -> floor.
     assert fit_macro_capacity(state, []) == 1024
+
+
+def _dim_scene(rng, n=60, n_bright=8):
+    """A scene dominated by dim splats (low opacity, wide 3-sigma extents):
+    the regime opacity_cull targets — e.g. right after an opacity reset."""
+    means = (rng.random((n, 3)) * 2 - 1).astype(np.float32)
+    scales = (rng.random((n, 3)) * 0.3 + 0.1).astype(np.float32)
+    quats = rng.standard_normal((n, 4)).astype(np.float32)
+    opac = (rng.random(n) * 0.03 + 0.006).astype(np.float32)
+    opac[:n_bright] = (rng.random(n_bright) * 0.5 + 0.4).astype(np.float32)
+    colors = rng.random((n, 3)).astype(np.float32)
+    return means, scales, quats, opac, colors
+
+
+def test_opacity_cull_exact_and_reduces_demand(rng):
+    """selection_radii tightening (settings.opacity_cull, default on) is
+    exact: with capacity unconstrained, images and gradients match with
+    the cull on or off up to fp summation order (the splats it drops sit
+    entirely in the alpha < 1/255 ring the composite zeroes anyway; the
+    zero-filled slots shift position in the K reduction tree, so ~1e-7
+    association noise remains), while per-tile candidate demand drops
+    sharply on a dim-splat scene."""
+    from aip_tpu.gs.rasterizer import _select, selection_radii
+
+    cam = _camera(w=64, h=64)
+    means, scales, quats, opac, colors = _dim_scene(rng)
+    vm = jnp.asarray(cam.world_view_transform)
+    pm = jnp.asarray(cam.full_proj_transform)
+    tx, ty = _tanfov(cam)
+    bg = jnp.asarray([0.2, 0.1, 0.3])
+
+    s_on = RasterSettings(64, 64, max_per_tile=64, chunk=16)
+    s_off = s_on._replace(opacity_cull=False)
+    assert s_on.opacity_cull  # default on
+
+    def run(s, op):
+        img, _ = rasterize(
+            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            op, jnp.asarray(colors), vm, pm, bg, s, tanfovx=tx, tanfovy=ty)
+        return img
+
+    a = run(s_on, jnp.asarray(opac))
+    b = run(s_off, jnp.asarray(opac))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # Gradients (w.r.t. opacity and means) are identical too: the culled
+    # splats' contributions are hard zeros with zero cotangent.
+    def loss(s, op, m3d):
+        img, _ = rasterize(
+            m3d, jnp.asarray(scales), jnp.asarray(quats), op,
+            jnp.asarray(colors), vm, pm, bg, s, tanfovx=tx, tanfovy=ty)
+        return jnp.sum(img ** 2)
+
+    g_on = jax.grad(loss, argnums=(1, 2))(s_on, jnp.asarray(opac),
+                                          jnp.asarray(means))
+    g_off = jax.grad(loss, argnums=(1, 2))(s_off, jnp.asarray(opac),
+                                           jnp.asarray(means))
+    for x, y in zip(g_on, g_off):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-5)
+
+    # Demand: on the dim scene the tightened footprints occupy strictly
+    # fewer candidate slots.
+    m2d, depth, conic, rad, valid = project_gaussians(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats), vm, pm,
+        tx, ty, s_on)
+    vsel = valid & (jnp.asarray(opac) > 1.0 / 255.0)
+    sel_on, _ = _select(m2d, depth, rad, vsel, s_on,
+                        opacities=jnp.asarray(opac))
+    sel_off, _ = _select(m2d, depth, rad, vsel, s_off)
+    used_on = int(jnp.sum(sel_on >= 0))
+    used_off = int(jnp.sum(sel_off >= 0))
+    assert used_on < used_off, (used_on, used_off)
+
+    # The tightened radius never exceeds the 3-sigma radius, and never
+    # hits zero for a splat the composite could still shade.
+    r2 = selection_radii(rad, jnp.asarray(opac))
+    assert bool(jnp.all(r2 <= rad))
+    assert bool(jnp.all((r2 > 0) | (rad == 0) | (jnp.asarray(opac) <= 1 / 255)))
+
+
+def test_opacity_cull_exact_hier_and_matmul(rng):
+    """Cull exactness through the hierarchical and macro-MXU paths."""
+    from aip_tpu.gs.rasterizer import rasterize_matmul
+
+    cam = _camera(w=64, h=64)
+    means, scales, quats, opac, colors = _dim_scene(rng, n=40)
+    vm = jnp.asarray(cam.world_view_transform)
+    pm = jnp.asarray(cam.full_proj_transform)
+    tx, ty = _tanfov(cam)
+    bg = jnp.asarray([0.05, 0.1, 0.05])
+
+    s_h = RasterSettings(64, 64, max_per_tile=40, chunk=16,
+                         macro=2, macro_capacity=64)
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(colors), vm, pm, bg)
+    a, _ = rasterize(*args, s_h, tanfovx=tx, tanfovy=ty)
+    b, _ = rasterize(*args, s_h._replace(opacity_cull=False),
+                     tanfovx=tx, tanfovy=ty)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    mm_on, _ = rasterize_matmul(*args, s_h, tanfovx=tx, tanfovy=ty)
+    mm_off, _ = rasterize_matmul(*args, s_h._replace(opacity_cull=False),
+                                 tanfovx=tx, tanfovy=ty)
+    np.testing.assert_allclose(np.asarray(mm_on), np.asarray(mm_off),
+                               atol=1e-6)
+
+
+def test_opacity_cull_rescues_capacity(rng):
+    """With capacity tight, the cull stops useless dim candidates from
+    evicting real contributors: the culled selection's image is at least
+    as close to the uncapped reference (deterministic for the fixed rng)."""
+    cam = _camera(w=32, h=32)
+    means, scales, quats, opac, colors = _dim_scene(rng, n=96, n_bright=10)
+    vm = jnp.asarray(cam.world_view_transform)
+    pm = jnp.asarray(cam.full_proj_transform)
+    tx, ty = _tanfov(cam)
+    bg = jnp.zeros(3)
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(colors), vm, pm, bg)
+
+    s_ref = RasterSettings(32, 32, max_per_tile=96, chunk=32)
+    ref, _ = rasterize(*args, s_ref, tanfovx=tx, tanfovy=ty)
+
+    s_tight = RasterSettings(32, 32, max_per_tile=6, chunk=32)
+    tight_on, _ = rasterize(*args, s_tight, tanfovx=tx, tanfovy=ty)
+    tight_off, _ = rasterize(*args, s_tight._replace(opacity_cull=False),
+                             tanfovx=tx, tanfovy=ty)
+    err_on = float(jnp.mean((tight_on - ref) ** 2))
+    err_off = float(jnp.mean((tight_off - ref) ** 2))
+    assert err_on <= err_off, (err_on, err_off)
