@@ -91,6 +91,9 @@ class GSTrainConfig:
     # ops/pallas/composite_ad.py, ~35% slower per step where both fit, see
     # BENCHMARKS.md "Differentiable composite backends").
     ad_stream_above_bytes: int = 2 << 30
+    # Opacity-aware selection tightening (rasterizer.selection_radii):
+    # exact; False restores raw 3-sigma footprints for A/B benching.
+    opacity_cull: bool = True
 
 
 class CameraArrays(NamedTuple):
@@ -429,6 +432,7 @@ def make_settings_from_dims(height: int, width: int, cfg: GSTrainConfig,
         macro=macro, macro_capacity=cfg.macro_capacity,
         remat_composite=remat and ad_backend == "xla",
         ad_backend=ad_backend,
+        opacity_cull=cfg.opacity_cull,
     )
 
 

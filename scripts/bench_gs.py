@@ -14,9 +14,13 @@ Usage: python scripts/bench_gs.py [--n 100000] [--backends mxu matmul pallas xla
 import argparse
 import json
 import math
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
@@ -26,9 +30,22 @@ def main():
     parser.add_argument("--width", type=int, default=1920)
     parser.add_argument("--backends", nargs="+", default=["mxu"])
     parser.add_argument("--reps", type=int, default=16)
+    parser.add_argument("--opacity_cull", type=int, default=1,
+                        help="A/B the opacity-aware selection tightening")
+    parser.add_argument("--opacity_dist", choices=["mixed", "dim"],
+                        default="mixed",
+                        help="'dim' emulates a post-opacity-reset scene "
+                             "(op ~ U[0.006, 0.04]) where the cull's "
+                             "footprint shrink is largest")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (smoke tests; the env "
+                             "var route hangs when the axon relay is down)")
     args = parser.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from aip_tpu.gs.cameras import Camera
@@ -44,7 +61,10 @@ def main():
     means = jnp.asarray((rng.random((n, 3)) * 2 - 1).astype(np.float32))
     scales = jnp.asarray((rng.random((n, 3)) * 0.01 + 0.003).astype(np.float32))
     quats = jnp.asarray(rng.standard_normal((n, 4)).astype(np.float32))
-    opac = jnp.asarray((rng.random(n) * 0.8 + 0.1).astype(np.float32))
+    if args.opacity_dist == "dim":
+        opac = jnp.asarray((rng.random(n) * 0.034 + 0.006).astype(np.float32))
+    else:
+        opac = jnp.asarray((rng.random(n) * 0.8 + 0.1).astype(np.float32))
     colors = jnp.asarray(rng.random((n, 3)).astype(np.float32))
 
     H, W = args.height, args.width
@@ -74,6 +94,7 @@ def main():
     results = {}
     for name in args.backends:
         fn, s = backends[name]
+        s = s._replace(opacity_cull=bool(args.opacity_cull))
         img, _ = fn(means, scales, quats, opac, colors, vm, pm, bg, s,
                     tanfovx=tx, tanfovy=ty)
         sync(img)
@@ -88,6 +109,8 @@ def main():
         results[name] = {"ms_per_frame": round(best * 1000, 1),
                          "fps": round(1.0 / best, 2)}
     print(json.dumps({"metric": "gs_render_1080p", "n_gaussians": n,
+                      "opacity_cull": bool(args.opacity_cull),
+                      "opacity_dist": args.opacity_dist,
                       "results": results}))
 
 

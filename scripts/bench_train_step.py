@@ -22,9 +22,17 @@ def main():
     parser.add_argument("--iters", type=int, default=5)
     parser.add_argument("--phase", default="photometric")
     parser.add_argument("--views_per_step", type=int, default=1)
+    parser.add_argument("--opacity_cull", type=int, default=1,
+                        help="A/B the opacity-aware selection tightening")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (smoke tests; the env "
+                             "var route hangs when the axon relay is down)")
     args = parser.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from aip_tpu.gs import gaussians as G
     from aip_tpu.gs.train import (GSTrainConfig, init_trainer, make_train_step,
@@ -38,7 +46,8 @@ def main():
 
     rng = np.random.default_rng(0)
     n, res = args.n, args.res
-    cfg = GSTrainConfig(capacity=n, log2_hashmap=args.log2, style_dim=256)
+    cfg = GSTrainConfig(capacity=n, log2_hashmap=args.log2, style_dim=256,
+                        opacity_cull=bool(args.opacity_cull))
     pts = (rng.random((n, 3)) * 2 - 1).astype(np.float32)
     cols = rng.random((n, 3)).astype(np.float32)
     trainer = init_trainer(cfg, jnp.asarray(pts), jnp.asarray(cols), 3.0)
