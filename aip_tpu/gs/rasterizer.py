@@ -547,10 +547,18 @@ def selection_radii(radii, opacities):
     return jnp.ceil(radii * jax.lax.stop_gradient(s))
 
 
+def cull_radii(radii, opacities, settings: RasterSettings):
+    """Apply the opacity-aware footprint tightening if enabled (the one
+    switch point for every selection path — tile, macro, and sharded)."""
+    if settings.opacity_cull:
+        return selection_radii(radii, opacities)
+    return radii
+
+
 def _select(mean2d, depths, radii, valid, settings: RasterSettings,
             opacities=None):
-    if opacities is not None and settings.opacity_cull:
-        radii = selection_radii(radii, opacities)
+    if opacities is not None:
+        radii = cull_radii(radii, opacities, settings)
     if settings.macro > 1:
         return select_per_tile_hierarchical(mean2d, depths, radii, valid, settings)
     return select_per_tile(mean2d, depths, radii, valid, settings)
@@ -812,7 +820,7 @@ def _composite_macro_mxu(macro_idx, mean2d, conics, colors, opacities,
     return img.reshape(mth * bs, mtw * bs, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("settings",))
+@functools.partial(jax.jit, static_argnames=("settings", "interpret"))
 def rasterize_matmul(
     means3d: jax.Array,
     scales: jax.Array,
@@ -826,9 +834,13 @@ def rasterize_matmul(
     tanfovx=1.0,
     tanfovy=1.0,
     scale_modifier=1.0,
+    interpret: bool = False,
 ):
     """Inference rasterization with matmul-structured macro-block
-    compositing (MXU path). Requires settings.macro > 1."""
+    compositing (MXU path). Requires settings.macro > 1. ``interpret``
+    runs the 'mxu'/'pallas' composite kernels in Pallas interpret mode
+    (the CPU smoke path; the 'matmul' backend lowers anywhere and
+    ignores it)."""
     assert settings.macro > 1, "rasterize_matmul requires hierarchical settings"
     mean2d, depths, conics, radii, valid = project_gaussians(
         means3d, scales, rotations, viewmatrix, projmatrix,
@@ -841,20 +853,19 @@ def rasterize_matmul(
     # Zero-opacity splats composite to nothing but would eat capped
     # candidate slots; filter them out of the binning.
     valid = valid & (opacities > (1.0 / 255.0))
-    radii_sel = (selection_radii(radii, opacities)
-                 if settings.opacity_cull else radii)
+    radii_sel = cull_radii(radii, opacities, settings)
     macro_idx, _ = _macro_select(mean2d, depths, radii_sel, valid, settings,
                                  mth, mtw)
     if settings.composite_backend == "mxu":
         img = _composite_macro_mxu(macro_idx, mean2d, conics, colors,
                                    jnp.asarray(opacities, jnp.float32),
                                    jnp.asarray(bg_color, jnp.float32),
-                                   m, mth, mtw)
+                                   m, mth, mtw, interpret=interpret)
     elif settings.composite_backend == "pallas":
         img = _composite_macro_pallas(macro_idx, mean2d, conics, colors,
                                       jnp.asarray(opacities, jnp.float32),
                                       jnp.asarray(bg_color, jnp.float32),
-                                      m, mth, mtw)
+                                      m, mth, mtw, interpret=interpret)
     else:
         img = _composite_macro_matmul(macro_idx, mean2d, conics, colors,
                                       jnp.asarray(opacities, jnp.float32),
@@ -895,8 +906,7 @@ def rasterize_fused(
     mth = math.ceil(th / m)
     mtw = math.ceil(tw / m)
     valid = valid & (opacities > (1.0 / 255.0))
-    radii_sel = (selection_radii(radii, opacities)
-                 if settings.opacity_cull else radii)
+    radii_sel = cull_radii(radii, opacities, settings)
     macro_idx, _ = _macro_select(mean2d, depths, radii_sel, valid, settings,
                                  mth, mtw)
     mvalid = macro_idx >= 0

@@ -129,7 +129,7 @@ def rasterize_sharded(
     import math
 
     from aip_tpu.gs.rasterizer import (TILE, project_gaussians,
-                                       select_macro_pairsort, selection_radii,
+                                       select_macro_pairsort, cull_radii,
                                        _tile_grid, pack_raw_table,
                                        composite_raw_blocks)
 
@@ -150,8 +150,7 @@ def rasterize_sharded(
         # Same opacity-aware footprint tightening as the replicated
         # backends (selection_radii): exact, and it stops zero-opacity
         # pad slots from occupying candidate capacity.
-        radii_sel = (selection_radii(radii, op)
-                     if settings.opacity_cull else radii)
+        radii_sel = cull_radii(radii, op, settings)
         idx, _ = select_macro_pairsort(mean2d, depths, radii_sel, valid,
                                        mth, mtw, settings)  # [B, Kc] local
         table = pack_raw_table(mean2d, conics, op, col)

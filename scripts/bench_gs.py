@@ -12,6 +12,7 @@ Usage: python scripts/bench_gs.py [--n 100000] [--backends mxu matmul pallas xla
 """
 
 import argparse
+import functools
 import json
 import math
 import sys
@@ -95,6 +96,8 @@ def main():
     for name in args.backends:
         fn, s = backends[name]
         s = s._replace(opacity_cull=bool(args.opacity_cull))
+        if args.cpu and name in ("pallas", "mxu"):
+            fn = functools.partial(fn, interpret=True)
         img, _ = fn(means, scales, quats, opac, colors, vm, pm, bg, s,
                     tanfovx=tx, tanfovy=ty)
         sync(img)
