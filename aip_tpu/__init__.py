@@ -46,9 +46,24 @@ def _enable_compilation_cache():
     try:
         import jax
 
+        # Scope the cache by a host fingerprint: the cache dir lives in the
+        # (persistent) home, but VM restarts can land on a different host
+        # whose CPU features don't match previously cached CPU AOT
+        # executables — XLA logs "could lead to execution errors such as
+        # SIGILL" and loads them anyway. A per-host dir trades a one-time
+        # recompile after a host move for never executing stale binaries.
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo") as f:
+                flags = next((l for l in f if l.startswith("flags")), "")
+        except OSError:
+            flags = ""
+        host_tag = hashlib.md5(flags.encode()).hexdigest()[:8]
         cache_dir = os.environ.get(
             "AIP_TPU_COMPILE_CACHE",
-            os.path.join(os.path.expanduser("~"), ".cache", "aip_tpu", "xla"))
+            os.path.join(os.path.expanduser("~"), ".cache", "aip_tpu",
+                         f"xla-{host_tag}"))
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -33,6 +33,10 @@ def main():
     parser.add_argument("--reps", type=int, default=16)
     parser.add_argument("--opacity_cull", type=int, default=1,
                         help="A/B the opacity-aware selection tightening")
+    parser.add_argument("--macro_capacity", type=int, default=None,
+                        help="override the macro/mxu backends' per-block "
+                             "capacity (default 1152, exact for the 100k "
+                             "fog; the 1M fog needs ~1408)")
     parser.add_argument("--opacity_dist", choices=["mixed", "dim"],
                         default="mixed",
                         help="'dim' emulates a post-opacity-reset scene "
@@ -60,7 +64,11 @@ def main():
     rng = np.random.default_rng(0)
     n = args.n
     means = jnp.asarray((rng.random((n, 3)) * 2 - 1).astype(np.float32))
-    scales = jnp.asarray((rng.random((n, 3)) * 0.01 + 0.003).astype(np.float32))
+    # Hold TOTAL splat area constant across scene sizes (the BENCHMARKS.md
+    # scaling protocol for the 300k/1M rows): per-splat scale ~ sqrt(100k/n).
+    area = math.sqrt(100_000 / n)
+    scales = jnp.asarray(
+        ((rng.random((n, 3)) * 0.01 + 0.003) * area).astype(np.float32))
     quats = jnp.asarray(rng.standard_normal((n, 4)).astype(np.float32))
     if args.opacity_dist == "dim":
         opac = jnp.asarray((rng.random(n) * 0.034 + 0.006).astype(np.float32))
@@ -96,6 +104,8 @@ def main():
     for name in args.backends:
         fn, s = backends[name]
         s = s._replace(opacity_cull=bool(args.opacity_cull))
+        if args.macro_capacity and name in ("matmul", "mxu", "pallas"):
+            s = s._replace(macro_capacity=args.macro_capacity)
         if args.cpu and name in ("pallas", "mxu"):
             fn = functools.partial(fn, interpret=True)
         img, _ = fn(means, scales, quats, opac, colors, vm, pm, bg, s,
