@@ -50,6 +50,11 @@ run gs_1m_off  2400 python scripts/bench_gs.py --n 1000000 --backends mxu \
 run gs_300k_on 1800 python scripts/bench_gs.py --n 300000 --backends mxu \
   --macro_capacity 1280 --opacity_cull 1
 
+# Streamed-vs-XLA differentiable composite: find the crossover where the
+# constant-VMEM Pallas custom-VJP beats dense+remat XLA autodiff.
+run composite_ad 3600 python -u scripts/bench_composite_ad.py \
+  --res 1088 1536 2048 --iters 4
+
 # Fast bathtub rerun: reference schedule, all round-3 levers on.
 run bathtub_fast 10800 python -u scripts/run_bathtub.py \
   --views_per_step 4 --out output/bathtub_fast
