@@ -46,6 +46,13 @@ def wait_for_device(max_wait_s: float = 600.0) -> None:
 
 
 def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--chain", type=int, default=4)
+    args = p.parse_args()
+
     wait_for_device()
 
     import jax
@@ -66,7 +73,7 @@ def main():
 
     # Serving shape: one fixed style (stats cached once), a stream of content
     # batches. This is the framework's steady-state stylization path.
-    batch, size, chain = 32, 512, 4
+    batch, size, chain = args.batch, 512, args.chain
     rng = np.random.default_rng(0)
     content = jnp.asarray(rng.random((batch, size, size, 3)).astype(np.float32))
     style = jnp.asarray(rng.random((1, size, size, 3)).astype(np.float32))

@@ -37,11 +37,16 @@ def main():
                         help="override the macro/mxu backends' per-block "
                              "capacity (default 1152, exact for the 100k "
                              "fog; the 1M fog needs ~1408)")
-    parser.add_argument("--opacity_dist", choices=["mixed", "dim"],
+    parser.add_argument("--opacity_dist", choices=["mixed", "dim", "solid"],
                         default="mixed",
                         help="'dim' emulates a post-opacity-reset scene "
                              "(op ~ U[0.006, 0.04]) where the cull's "
-                             "footprint shrink is largest")
+                             "footprint shrink is largest; 'solid' emulates "
+                             "a TRAINED scene's bimodal opacities (60%% "
+                             "near-opaque surface splats) where rays "
+                             "saturate and the composite kernel's "
+                             "transmittance early-exit engages — the fog "
+                             "default never saturates, making it worst-case")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (smoke tests; the env "
                              "var route hangs when the axon relay is down)")
@@ -72,6 +77,13 @@ def main():
     quats = jnp.asarray(rng.standard_normal((n, 4)).astype(np.float32))
     if args.opacity_dist == "dim":
         opac = jnp.asarray((rng.random(n) * 0.034 + 0.006).astype(np.float32))
+    elif args.opacity_dist == "solid":
+        # Trained-scene bimodal: 60% surface splats op~U[0.7,1.0], 40%
+        # residual op~U[0.05,0.7] (post-prune scenes keep no near-zero mass).
+        surf = rng.random(n) < 0.6
+        opac = np.where(surf, rng.random(n) * 0.3 + 0.7,
+                        rng.random(n) * 0.65 + 0.05).astype(np.float32)
+        opac = jnp.asarray(opac)
     else:
         opac = jnp.asarray((rng.random(n) * 0.8 + 0.1).astype(np.float32))
     colors = jnp.asarray(rng.random((n, 3)).astype(np.float32))

@@ -50,6 +50,9 @@ run gs_1m_off  2400 python scripts/bench_gs.py --n 1000000 --backends mxu \
 run gs_300k_on 1800 python scripts/bench_gs.py --n 300000 --backends mxu \
   --macro_capacity 1280 --opacity_cull 1
 
+# AdaIN serving batch-size probe: does 64/chain-8 beat the default 32/4?
+run bench_b64 1800 python bench.py --batch 64 --chain 8
+
 # Streamed-vs-XLA differentiable composite: find the crossover where the
 # constant-VMEM Pallas custom-VJP beats dense+remat XLA autodiff.
 run composite_ad 3600 python -u scripts/bench_composite_ad.py \
