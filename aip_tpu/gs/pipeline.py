@@ -112,7 +112,7 @@ def run_3dgs_rendering(
     splat sets beyond one chip's HBM; exact vs the replicated renderer."""
     from PIL import Image
 
-    from aip_tpu.gs.render import fit_macro_capacity, render
+    from aip_tpu.gs.render import fit_selection, render
     from aip_tpu.gs.rasterizer import RasterSettings
     from aip_tpu.pipelines.adain_infer import get_style_embeddings, _to_array
 
@@ -131,7 +131,9 @@ def run_3dgs_rendering(
     cams_all = scene.getTrainCameras()
     uses_macro = renderer in ("auto", "matmul") and any(
         c.image_height * c.image_width >= 512 * 512 for c in cams_all)
-    macro_kc = (fit_macro_capacity(state, cams_all) if uses_macro else 1024)
+    sel = (fit_selection(state, cams_all) if uses_macro
+           else {"macro_capacity": 1024, "dup_span": 2,
+                 "giant_capacity": 128})
     bg = jnp.asarray([1.0, 1.0, 1.0] if cfg_args.get("white_background") else [0.0, 0.0, 0.0])
 
     style_f = None
@@ -146,7 +148,8 @@ def run_3dgs_rendering(
     for i, cam in enumerate(cams_all):
         settings = RasterSettings(
             image_height=cam.image_height, image_width=cam.image_width,
-            max_per_tile=max_per_tile, macro_capacity=macro_kc,
+            max_per_tile=max_per_tile, macro_capacity=sel["macro_capacity"],
+            dup_span=sel["dup_span"], giant_capacity=sel["giant_capacity"],
         )
         out = render(cam, state, field, bg, style_f=style_f, mode="inference",
                      settings=settings, renderer=renderer, mesh=mesh)

@@ -79,6 +79,14 @@ class RasterSettings(NamedTuple):
     # rejected by select_macro_pairsort (giants would silently never
     # render); use select_backend='merge' to avoid the cap entirely.
     giant_capacity: int = 128
+    # Giants are first compacted to the giant_pool front-most-by-depth
+    # (one N-length sort) before the super-grid merge, so the merge runs
+    # over giant_pool candidates instead of all N (the top_k over
+    # [supertiles, N] measured 9.7 ms of the 1M-Gaussian frame).
+    # Identical selection whenever the scene has <= giant_pool giants
+    # (real scenes have orders of magnitude fewer); beyond that the
+    # rearmost giants drop first — the same bias giant_capacity applies.
+    giant_pool: int = 16384
     # Macro-block composite backend for rasterize_matmul: 'matmul' (dense
     # XLA quadratic-basis MXU pipeline), 'pallas' (candidate walk with
     # group-level saturation early-exit), or 'mxu' (dense-group Pallas
@@ -376,17 +384,23 @@ def select_macro_pairsort(mean2d, depths, radii, valid, mth, mtw,
     normal = alive & (x1 - x0 < d_span) & (y1 - y0 < d_span)
     giant = alive & ~normal
 
+    # Lane-major emission: the d_span^2 duplicate slots LEAD and N rides
+    # the TPU lanes ([D, D, N], not [N, D, D]) — a trailing dim of size 2
+    # leaves 126/128 lanes idle on every elementwise op here, which
+    # measured 23 ms of the 46 ms 1M-Gaussian selection before the
+    # transpose (the flattened pair order changes, but the sort
+    # normalizes it).
     offs = jnp.arange(d_span, dtype=jnp.int32)
-    bxs = x0[:, None] + offs[None, :]  # [N, D]
-    bys = y0[:, None] + offs[None, :]
-    okx = (bxs >= 0) & (bxs < mtw) & (bxs <= x1[:, None])
-    oky = (bys >= 0) & (bys < mth) & (bys <= y1[:, None])
-    ok = oky[:, :, None] & okx[:, None, :] & normal[:, None, None]
-    blk = bys[:, :, None] * mtw + bxs[:, None, :]
+    bxs = offs[:, None] + x0[None, :]  # [D, N]
+    bys = offs[:, None] + y0[None, :]
+    okx = (bxs >= 0) & (bxs < mtw) & (bxs <= x1[None, :])
+    oky = (bys >= 0) & (bys < mth) & (bys <= y1[None, :])
+    ok = oky[:, None, :] & okx[None, :, :] & normal[None, None, :]
+    blk = bys[:, None, :] * mtw + bxs[None, :, :]
     blk = jnp.where(ok, blk, n_blocks)
 
     gid = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None, None], ok.shape).reshape(-1)
+        jnp.arange(n, dtype=jnp.int32)[None, None, :], ok.shape).reshape(-1)
     blk = blk.reshape(-1)
     ok_flat = ok.reshape(-1)
 
@@ -400,7 +414,7 @@ def select_macro_pairsort(mean2d, depths, radii, valid, mth, mtw,
         dq = jnp.maximum((depths - dmin) * dscale, 0.0).astype(jnp.int32)
         dq = jnp.clip(dq, 0, (1 << dq_bits) - 1)
         # Broadcast (not gather) the quantized depth into the normal pairs.
-        dqv = jnp.where(ok, dq[:, None, None], 0).reshape(-1)
+        dqv = jnp.where(ok, dq[None, None, :], 0).reshape(-1)
 
     # ---- Giants: coarse super grid (clipped rects always fit) -> extra
     # (block, giant) pairs appended to the same sort.
@@ -416,17 +430,47 @@ def select_macro_pairsort(mean2d, depths, radii, valid, mth, mtw,
             max_per_tile=kg, chunk=n,
         )
         scale = m * sb  # macro block px / TILE px, times super factor
-        sup_idx, _ = select_per_tile(
-            mean2d / scale, depths, radii / scale, giant, super_settings)
+        pool = min(settings.giant_pool, n)
+        # The compaction sort only pays once it shrinks the merge input
+        # substantially: measured on chip, pooling is -10 ms at 1M
+        # Gaussians, neutral at 300k, +5 ms at 100k — so engage at a
+        # 16x reduction (262k at the default pool).
+        if pool * 16 <= n:
+            # Compact giants to a depth-sorted pool first: the merge's
+            # top_k then runs over `pool` candidates, not all N. Exact
+            # whenever the scene has <= pool giants (non-giant slots in
+            # the pool carry key=+inf and a False mask).
+            gkey = jnp.where(giant, depths, jnp.inf)
+            _, pidx = jax.lax.sort(
+                (gkey, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+            pidx = pidx[:pool]
+            sup_sel, _ = select_per_tile(
+                mean2d[pidx] / scale, depths[pidx], radii[pidx] / scale,
+                giant[pidx], super_settings._replace(chunk=pool))
+            sup_idx = jnp.where(sup_sel >= 0, pidx[jnp.maximum(sup_sel, 0)],
+                                -1)
+        else:
+            sup_idx, _ = select_per_tile(
+                mean2d / scale, depths, radii / scale, giant, super_settings)
 
         rows = jnp.arange(n_blocks) // mtw
         cols = jnp.arange(n_blocks) % mtw
         sup_of_block = (rows // sb) * stw + (cols // sb)
-        cand = sup_idx[sup_of_block]  # [n_blocks, kg]
-        safe = jnp.maximum(cand, 0)
-        cmx = mx[safe]
-        cmy = my[safe]
-        cr = radii[safe]
+        # Gather the pooled giants' attributes ONCE per supertile slot
+        # ([S, kg] rows — a few hundred thousand at most), then expand to
+        # blocks by broadcasting whole rows (a gather of n_blocks LONG
+        # rows, bandwidth-bound). Gathering per (block, slot) instead
+        # (mx[sup_idx[sup_of_block]], [n_blocks, kg] scattered 4-byte
+        # rows) is per-row bound and measured ~160 ms at kg~10k on a
+        # giant-heavy trained scene.
+        sup_safe = jnp.maximum(sup_idx, 0)              # [S, kg]
+        smx = mx[sup_safe]
+        smy = my[sup_safe]
+        srad = radii[sup_safe]
+        cand = sup_idx[sup_of_block]                    # [n_blocks, kg] rows
+        cmx = smx[sup_of_block]
+        cmy = smy[sup_of_block]
+        cr = srad[sup_of_block]
         bx0 = (cols * bs).astype(mean2d.dtype)[:, None]
         by0 = (rows * bs).astype(mean2d.dtype)[:, None]
         hit = (
@@ -434,14 +478,16 @@ def select_macro_pairsort(mean2d, depths, radii, valid, mth, mtw,
             & (cmy + cr >= by0) & (cmy - cr < by0 + bs)
             & (cand >= 0)
         )
+        safe = jnp.maximum(cand, 0)
         gblk = jnp.where(hit, jnp.arange(n_blocks, dtype=jnp.int32)[:, None],
                          n_blocks).reshape(-1)
         blk = jnp.concatenate([blk, gblk])
         gid = jnp.concatenate([gid, safe.astype(jnp.int32).reshape(-1)])
         ok_flat = jnp.concatenate([ok_flat, hit.reshape(-1)])
         if packed:
+            sdq = dq[sup_safe]
             dqv = jnp.concatenate(
-                [dqv, jnp.where(hit, dq[safe], 0).reshape(-1)])
+                [dqv, jnp.where(hit, sdq[sup_of_block], 0).reshape(-1)])
 
     if packed:
         key = (blk << dq_bits) | dqv

@@ -42,21 +42,34 @@ def make_settings(camera, max_per_tile: int = 128, chunk: int = 4096) -> RasterS
     )
 
 
-def fit_macro_capacity(state: G.GaussianState, cams, macro: int = 4,
-                       sample: int = 8, margin: float = 1.15,
-                       lo: int = 1024, hi: int = 4096) -> int:
-    """Size the macro-block candidate capacity to the scene's measured demand.
+def fit_selection(state: G.GaussianState, cams, macro: int = 4,
+                  sample: int = 8, margin: float = 1.15,
+                  lo: int = 1024, hi: int = 4096,
+                  max_span: int = 6) -> dict:
+    """Fit the pairsort selection shape to the scene's measured demand.
 
-    The macro selection keeps only ``macro_capacity`` front-most splats per
-    (macro*16)px block; when per-block demand exceeds it, the rearmost
-    splats vanish as screen-aligned rectangles (the CUDA rasterizer's
-    per-tile lists are unbounded, reference
-    diff-gaussian-rasterization/forward.cu duplicate keys). This host-side
-    pre-pass projects the scene for ``sample`` evenly-spaced cameras,
-    counts bounding-rect overlaps per block with a summed-area table, and
-    returns max demand * margin rounded up to a multiple of 64 (the MXU
-    composite group), clamped to [lo, hi]. One value per scene — the
-    compiled program stays static across cameras.
+    Returns ``{"macro_capacity", "dup_span", "giant_capacity"}``.
+
+    * ``macro_capacity``: the macro selection keeps only that many
+      front-most splats per (macro*16)px block; when per-block demand
+      exceeds it, the rearmost splats vanish as screen-aligned rectangles
+      (the CUDA rasterizer's per-tile lists are unbounded, reference
+      diff-gaussian-rasterization/forward.cu duplicate keys). Fitted to
+      max demand * margin, rounded to a multiple of 64 (the MXU composite
+      group), clamped to [lo, hi].
+    * ``dup_span`` / ``giant_capacity``: splats spanning more than
+      dup_span macro blocks route through the capped per-supertile giant
+      merge — and trained real scenes carry MANY such splats (bed_0037 at
+      800^2: 13.8k giants at dup_span=2 vs a 128-slot cap, which visibly
+      truncated renders). Both are fitted together by minimizing total
+      emitted pair slots (n_alive * dup_span^2 + n_blocks *
+      giant_capacity) subject to giant_capacity covering the worst
+      per-supertile giant count * margin — selection becomes exact for
+      the sampled views.
+
+    One host-side pre-pass over ``sample`` evenly-spaced cameras
+    (summed-area tables over bounding rects); one value set per scene so
+    the compiled program stays static across cameras.
     """
     import numpy as np
 
@@ -64,12 +77,17 @@ def fit_macro_capacity(state: G.GaussianState, cams, macro: int = 4,
 
     cams = list(cams)
     if not cams:
-        return lo
+        return {"macro_capacity": lo, "dup_span": 2, "giant_capacity": 128}
     step = max(1, len(cams) // sample)
     scales = jnp.exp(state.scaling)
     opac = jax.nn.sigmoid(state.opacity)[:, 0]
     bs = macro * TILE
     worst = 0
+    n_alive_max = 0
+    n_blocks_max = 1
+    # worst per-supertile giant count for each candidate dup_span
+    spans = list(range(2, max_span + 1))
+    worst_giants = {d: 0 for d in spans}
     for cam in cams[::step]:
         s = RasterSettings(image_height=cam.image_height,
                            image_width=cam.image_width)
@@ -83,20 +101,63 @@ def fit_macro_capacity(state: G.GaussianState, cams, macro: int = 4,
         mx = np.asarray(mean2d[:, 0])[v]
         my = np.asarray(mean2d[:, 1])[v]
         r = np.asarray(radii)[v]
+        n_alive_max = max(n_alive_max, int(v.sum()))
         th = -(-s.image_height // bs)
         tw = -(-s.image_width // bs)
-        x0 = np.clip(np.floor((mx - r) / bs).astype(int), 0, tw - 1)
-        x1 = np.clip(np.floor((mx + r) / bs).astype(int), 0, tw - 1)
-        y0 = np.clip(np.floor((my - r) / bs).astype(int), 0, th - 1)
-        y1 = np.clip(np.floor((my + r) / bs).astype(int), 0, th - 1)
-        d = np.zeros((th + 1, tw + 1), np.int64)
-        np.add.at(d, (y0, x0), 1)
-        np.add.at(d, (y0, x1 + 1), -1)
-        np.add.at(d, (y1 + 1, x0), -1)
-        np.add.at(d, (y1 + 1, x1 + 1), 1)
-        worst = max(worst, int(d.cumsum(0).cumsum(1)[:th, :tw].max()))
+        n_blocks_max = max(n_blocks_max, th * tw)
+        # UNCLIPPED span in blocks (matches select_macro_pairsort's
+        # normal/giant split, rasterizer.py).
+        ux0 = np.floor((mx - r) / bs).astype(int)
+        ux1 = np.floor((mx + r) / bs).astype(int)
+        uy0 = np.floor((my - r) / bs).astype(int)
+        uy1 = np.floor((my + r) / bs).astype(int)
+        x0 = np.clip(ux0, 0, tw - 1)
+        x1 = np.clip(ux1, 0, tw - 1)
+        y0 = np.clip(uy0, 0, th - 1)
+        y1 = np.clip(uy1, 0, th - 1)
+
+        def rect_hist(shape, ry0, rx0, ry1, rx1):
+            d = np.zeros((shape[0] + 1, shape[1] + 1), np.int64)
+            np.add.at(d, (ry0, rx0), 1)
+            np.add.at(d, (ry0, rx1 + 1), -1)
+            np.add.at(d, (ry1 + 1, rx0), -1)
+            np.add.at(d, (ry1 + 1, rx1 + 1), 1)
+            return d.cumsum(0).cumsum(1)[: shape[0], : shape[1]]
+
+        worst = max(worst, int(rect_hist((th, tw), y0, x0, y1, x1).max()))
+
+        # Per-supertile giant counts (mirror the super grid the pairsort
+        # selection builds: sb = ceil(max(mth, mtw) / 4)).
+        sb = max(1, -(-max(th, tw) // 4))
+        sth, stw = -(-th // sb), -(-tw // sb)
+        sx0, sx1 = x0 // sb, x1 // sb
+        sy0, sy1 = y0 // sb, y1 // sb
+        for d_span in spans:
+            g = (ux1 - ux0 >= d_span) | (uy1 - uy0 >= d_span)
+            if not g.any():
+                continue
+            h = rect_hist((sth, stw), sy0[g], sx0[g], sy1[g], sx1[g])
+            worst_giants[d_span] = max(worst_giants[d_span], int(h.max()))
+
     cap = -(-int(worst * margin) // 64) * 64
-    return max(lo, min(hi, cap))
+    kc = max(lo, min(hi, cap))
+
+    def giant_cap(d_span):
+        return max(128, -(-int(worst_giants[d_span] * margin) // 64) * 64)
+
+    dup = min(spans, key=lambda d: n_alive_max * d * d
+              + n_blocks_max * giant_cap(d))
+    return {"macro_capacity": kc, "dup_span": dup,
+            "giant_capacity": giant_cap(dup)}
+
+
+def fit_macro_capacity(state: G.GaussianState, cams, macro: int = 4,
+                       sample: int = 8, margin: float = 1.15,
+                       lo: int = 1024, hi: int = 4096) -> int:
+    """Backward-compatible wrapper: just the fitted macro_capacity (see
+    fit_selection)."""
+    return fit_selection(state, cams, macro=macro, sample=sample,
+                         margin=margin, lo=lo, hi=hi)["macro_capacity"]
 
 
 def _sh_colors(sh: jax.Array, xyz: jax.Array, campos: jax.Array) -> jax.Array:

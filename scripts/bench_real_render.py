@@ -45,7 +45,7 @@ def main():
     from aip_tpu.gs.cameras import Camera, focal2fov, fov2focal
     from aip_tpu.gs.colorfield import precompute_features
     from aip_tpu.gs.dataset import Scene
-    from aip_tpu.gs.render import fit_macro_capacity, render
+    from aip_tpu.gs.render import fit_selection, render
     from aip_tpu.gs.rasterizer import RasterSettings
     from aip_tpu.pipelines.adain_infer import get_style_embeddings, _to_array
 
@@ -67,9 +67,10 @@ def main():
         cams.append(Camera(colmap_id=0, R=c.R, T=c.T, FoVx=c.FoVx, FoVy=fy,
                            image=blank, image_name=c.image_name, uid=0))
 
-    kc = fit_macro_capacity(state, cams)
+    sel = fit_selection(state, cams)
+    kc = sel["macro_capacity"]
     live = int(np.asarray(state.active).sum())
-    print(f"live gaussians {live}, fitted macro_capacity {kc}", flush=True)
+    print(f"live gaussians {live}, fitted selection {sel}", flush=True)
 
     bg = jnp.asarray([1.0, 1.0, 1.0] if cfg_args.get("white_background")
                      else [0.0, 0.0, 0.0])
@@ -81,7 +82,9 @@ def main():
 
     settings = RasterSettings(image_height=args.height, image_width=args.width,
                               macro=4, macro_capacity=kc,
-                              composite_backend="mxu", dup_span=2)
+                              composite_backend="mxu",
+                              dup_span=sel["dup_span"],
+                              giant_capacity=sel["giant_capacity"])
 
     def sync(x):
         np.asarray(jax.lax.slice(x.reshape(-1), (0,), (1,)))

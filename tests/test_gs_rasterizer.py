@@ -361,6 +361,42 @@ def test_pairsort_selection_matches_merge(rng):
         assert np.all(np.diff(fin) >= 0)
 
 
+def test_pairsort_giant_pool_matches_unpooled(rng):
+    """giant_pool < N routes giants through the depth-sorted compaction
+    (the 1M-frame fast path); with fewer giants than the pool the
+    selection must be identical to the unpooled super-grid merge."""
+    import math
+
+    from aip_tpu.gs.rasterizer import _macro_select, _tile_grid
+
+    cam = _camera(w=128, h=96)
+    n = 160
+    means = (rng.random((n, 3)) * 2 - 1).astype(np.float32)
+    scales = (rng.random((n, 3)) * 0.05 + 0.01).astype(np.float32)
+    scales[:6] = rng.random((6, 3)) * 1.5 + 0.5  # giants
+    quats = rng.standard_normal((n, 4)).astype(np.float32)
+
+    s = RasterSettings(96, 128, max_per_tile=32, chunk=32,
+                       macro=2, macro_capacity=160, dup_span=2,
+                       giant_capacity=32, giant_pool=10)
+    assert s.giant_pool * 16 <= n  # pooled branch engaged
+    tx, ty = _tanfov(cam)
+    m2d, depth, conic, radius, valid = project_gaussians(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(cam.world_view_transform),
+        jnp.asarray(cam.full_proj_transform), tx, ty, s)
+    th, tw = _tile_grid(s)
+    mth, mtw = math.ceil(th / s.macro), math.ceil(tw / s.macro)
+
+    pi, pd = _macro_select(m2d, depth, radius, valid, s, mth, mtw)
+    ui, ud = _macro_select(m2d, depth, radius, valid,
+                           s._replace(giant_pool=n), mth, mtw)
+    pi, pd, ui, ud = map(np.asarray, (pi, pd, ui, ud))
+    for b in range(mth * mtw):
+        assert set(pi[b][pi[b] >= 0]) == set(ui[b][ui[b] >= 0])
+        np.testing.assert_allclose(np.sort(pd[b]), np.sort(ud[b]))
+
+
 def test_mxu_composite_matches_matmul(rng):
     """Dense-group MXU kernel (interpret) == XLA matmul composite on a
     scene with giants (exercises giant pairs folded into the sort)."""
