@@ -27,6 +27,7 @@ def _load(model_path):
 def _render_cams(cams, state, field, bg, style_f, out_dir, max_per_tile=128,
                  mesh_dp: int = 0):
     from PIL import Image
+    from aip_tpu.gs.render import fit_selection
 
     from aip_tpu.gs.render import render
     from aip_tpu.gs.rasterizer import RasterSettings
@@ -35,11 +36,22 @@ def _render_cams(cams, state, field, bg, style_f, out_dir, max_per_tile=128,
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     mesh = make_dp_mesh(mesh_dp)  # Gaussian-sharded rendering when > 1
+    # Fit the macro selection shape to the scene once (trained scenes
+    # carry thousands of giant splats — default dup_span/giant_capacity
+    # visibly truncate them; see fit_selection / BENCHMARKS.md).
+    uses_macro = any(c.image_height * c.image_width >= 512 * 512
+                     for c in cams)
+    sel = (fit_selection(state, cams) if uses_macro
+           else {"macro_capacity": 1024, "dup_span": 2,
+                 "giant_capacity": 128})
     paths = []
     for i, cam in enumerate(cams):
         settings = RasterSettings(image_height=cam.image_height,
                                   image_width=cam.image_width,
-                                  max_per_tile=max_per_tile)
+                                  max_per_tile=max_per_tile,
+                                  macro_capacity=sel["macro_capacity"],
+                                  dup_span=sel["dup_span"],
+                                  giant_capacity=sel["giant_capacity"])
         out = render(cam, state, field, bg, style_f=style_f, mode="inference",
                      settings=settings, mesh=mesh)
         img = (np.clip(np.asarray(out.render), 0, 1) * 255).astype(np.uint8)
