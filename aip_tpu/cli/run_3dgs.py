@@ -22,6 +22,12 @@ def main(argv=None):
     parser.add_argument("--gaussian_shard", action="store_true",
                         help="Also shard the colorfield over the Gaussian "
                              "axis (needs --mesh_dp).")
+    parser.add_argument("--fit_train_selection", action="store_true",
+                        help="Fit the pair-sort selection shape (dup_span/"
+                             "giant_capacity/macro_capacity) to the initial "
+                             "scene so TRAINING renders never truncate "
+                             "giants (exact, ~+30%%/frame on giant-heavy "
+                             "scenes; see BENCHMARKS.md).")
     args = parser.parse_args(argv)
 
     from aip_tpu.gs.pipeline import run_3dgs_training, run_3dgs_rendering
@@ -32,6 +38,7 @@ def main(argv=None):
         use_depth=args.use_depth, depth_offset=0.5, depth_prominence=20,
         views_per_step=args.views_per_step, mesh_dp=args.mesh_dp,
         gaussian_shard=args.gaussian_shard,
+        fit_train_selection=args.fit_train_selection,
     )
     gif = run_3dgs_rendering(args.style, model_path, mesh_dp=args.mesh_dp)
     print(f"Render GIF: {gif}")

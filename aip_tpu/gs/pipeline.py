@@ -48,6 +48,7 @@ def run_3dgs_training(
     views_per_step: int = 1,
     mesh_dp: int = 0,
     gaussian_shard: bool = False,
+    fit_train_selection: bool = False,
 ) -> str:
     """Train a stylized 3DGS scene; saves a compressed model. Returns
     model_path.
@@ -56,6 +57,8 @@ def run_3dgs_training(
     devices and runs the loop multi-chip (view batches dp-sharded;
     ``gaussian_shard`` also shards the colorfield over the splat set —
     see gs.train.train)."""
+    import dataclasses
+
     cfg = GSTrainConfig(
         iterations=iterations, freeze_iters=freeze_iters,
         white_background=white_background, capacity=capacity,
@@ -63,6 +66,27 @@ def run_3dgs_training(
         max_per_tile=max_per_tile, macro_capacity=macro_capacity,
     )
     scene = Scene(str(content_path), white_background=white_background)
+    if fit_train_selection:
+        # Exact-training mode: fit dup_span / giant_capacity /
+        # macro_capacity to the initial scene's measured demand (with
+        # extra margin for densification growth) so training renders
+        # never truncate giants. Slower per step on giant-heavy scenes;
+        # without it the model learns to compensate for the capped
+        # selection and must be rendered with the same shape (recorded
+        # below either way).
+        import jax.numpy as _jnp
+
+        from aip_tpu.gs.gaussians import create_from_pcd
+        from aip_tpu.gs.render import fit_selection
+
+        pcd = scene.point_cloud
+        st0, _dc = create_from_pcd(_jnp.asarray(pcd.points),
+                                   _jnp.asarray(pcd.colors), capacity)
+        sel0 = fit_selection(st0, scene.getTrainCameras(), margin=1.5)
+        cfg = dataclasses.replace(
+            cfg, dup_span=sel0["dup_span"],
+            giant_capacity=sel0["giant_capacity"],
+            macro_capacity=max(macro_capacity, sel0["macro_capacity"]))
     trainer, style_f = train(
         scene, style_img_path, cfg,
         use_depth=use_depth, depth_offset=depth_offset,
@@ -91,6 +115,17 @@ def run_3dgs_training(
         "iterations": iterations,
         "freeze_iters": freeze_iters,
         "log2_hashmap": log2_hashmap,
+        # The selection shape TRAINING rendered with. Inference must
+        # reuse it: a model trained under a truncating selection learns
+        # to compensate, and rendering it with a different (even exact)
+        # shape changes what the loss optimized (BENCHMARKS.md
+        # "Real-scene exactness": exact re-render of a truncation-trained
+        # scene DROPS PSNR 16.3 -> 13.9).
+        "selection": {
+            "macro_capacity": cfg.macro_capacity,
+            "dup_span": cfg.dup_span,
+            "giant_capacity": cfg.giant_capacity,
+        },
     }))
     return str(model_path)
 
@@ -131,9 +166,18 @@ def run_3dgs_rendering(
     cams_all = scene.getTrainCameras()
     uses_macro = renderer in ("auto", "matmul") and any(
         c.image_height * c.image_width >= 512 * 512 for c in cams_all)
-    sel = (fit_selection(state, cams_all) if uses_macro
-           else {"macro_capacity": 1024, "dup_span": 2,
-                 "giant_capacity": 128})
+    if "selection" in cfg_args:
+        # Render with the EXACT selection shape training optimized under
+        # (see the cfg_args comment in run_3dgs_training).
+        sel = cfg_args["selection"]
+    elif uses_macro:
+        # Legacy model (no recorded shape): reproduce the legacy render
+        # behavior — fitted capacity, default spans.
+        sel = dict(fit_selection(state, cams_all), dup_span=3,
+                   giant_capacity=128)
+    else:
+        sel = {"macro_capacity": 1024, "dup_span": 2,
+               "giant_capacity": 128}
     bg = jnp.asarray([1.0, 1.0, 1.0] if cfg_args.get("white_background") else [0.0, 0.0, 0.0])
 
     style_f = None

@@ -21,11 +21,11 @@ def _load(model_path):
     scene = Scene(cfg["source_path"], white_background=cfg.get("white_background", False),
                   shuffle=False)
     bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.get("white_background") else [0.0, 0.0, 0.0])
-    return state, field, scene, bg
+    return state, field, scene, bg, cfg.get("selection")
 
 
 def _render_cams(cams, state, field, bg, style_f, out_dir, max_per_tile=128,
-                 mesh_dp: int = 0):
+                 mesh_dp: int = 0, sel=None):
     from PIL import Image
     from aip_tpu.gs.render import fit_selection
 
@@ -36,14 +36,18 @@ def _render_cams(cams, state, field, bg, style_f, out_dir, max_per_tile=128,
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     mesh = make_dp_mesh(mesh_dp)  # Gaussian-sharded rendering when > 1
-    # Fit the macro selection shape to the scene once (trained scenes
-    # carry thousands of giant splats — default dup_span/giant_capacity
-    # visibly truncate them; see fit_selection / BENCHMARKS.md).
+    # ``sel`` is the training-recorded selection shape (cfg_args
+    # "selection") — rendering must reuse what training optimized under
+    # (BENCHMARKS.md "Real-scene exactness").
     uses_macro = any(c.image_height * c.image_width >= 512 * 512
                      for c in cams)
-    sel = (fit_selection(state, cams) if uses_macro
-           else {"macro_capacity": 1024, "dup_span": 2,
-                 "giant_capacity": 128})
+    if sel is None:
+        # No training-recorded shape: fit capacity, keep the legacy
+        # spans (matches what a shape-unrecorded model trained with).
+        sel = (dict(fit_selection(state, cams), dup_span=3,
+                    giant_capacity=128) if uses_macro
+               else {"macro_capacity": 1024, "dup_span": 2,
+                     "giant_capacity": 128})
     paths = []
     for i, cam in enumerate(cams):
         settings = RasterSettings(image_height=cam.image_height,
@@ -77,14 +81,14 @@ def render_video(model_path, style_image=None, n_frames: int = 600,
     from aip_tpu.gs.pose_paths import generate_ellipse_path, apply_pose
     from aip_tpu.pipelines.video import frames_to_video
 
-    state, field, scene, bg = _load(model_path)
+    state, field, scene, bg, sel = _load(model_path)
     style_f = _style_embedding(field, style_image)
     views = scene.getTrainCameras()
     poses = generate_ellipse_path(views, n_frames=n_frames)
     cams = [apply_pose(views[0], p) for p in poses]
     out_dir = Path(model_path) / "video" / "ellipse"
     paths = _render_cams(cams, state, field, bg, style_f, out_dir,
-                         max_per_tile, mesh_dp)
+                         max_per_tile, mesh_dp, sel=sel)
     # frames_to_video consumes .jpg; write an mp4 directly from pngs.
     import cv2
 
@@ -104,14 +108,15 @@ def render_circular_video(model_path, style_image=None, radius: float = 0.5,
     """Circular-orbit frames (render_video.py:48-58). Returns the frame dir."""
     from aip_tpu.gs.pose_paths import circular_pose
 
-    state, field, scene, bg = _load(model_path)
+    state, field, scene, bg, sel = _load(model_path)
     style_f = _style_embedding(field, style_image)
     views = scene.getTrainCameras()
     base = views[min(view_index, len(views) - 1)]
     cams = [circular_pose(base, radius, 2 * np.pi * i / n_frames)
             for i in range(n_frames)]
     out_dir = Path(model_path) / "circular"
-    _render_cams(cams, state, field, bg, style_f, out_dir, max_per_tile)
+    _render_cams(cams, state, field, bg, style_f, out_dir, max_per_tile,
+                 sel=sel)
     return str(out_dir)
 
 
@@ -121,14 +126,16 @@ def gaussian_render(model_path, style_image=None, mean: float = 0.0,
     """Jittered-view sweep (render_video.py:75-96). Returns the output dir."""
     from aip_tpu.gs.pose_paths import gaussian_pose
 
-    state, field, scene, bg = _load(model_path)
+    state, field, scene, bg, sel = _load(model_path)
     style_f = _style_embedding(field, style_image)
     rng = np.random.default_rng(seed)
     views = scene.getTrainCameras()[:n_views]
     root = Path(model_path) / "video" / f"gaussians_std{std}"
     for i, view in enumerate(views):
         sub = root / f"view_{i}"
-        _render_cams([view], state, field, bg, style_f, sub, max_per_tile)
+        _render_cams([view], state, field, bg, style_f, sub, max_per_tile,
+                     sel=sel)
         jittered = [gaussian_pose(view, rng, mean, std) for _ in range(n_jitter)]
-        _render_cams(jittered, state, field, bg, style_f, sub / "jitter", max_per_tile)
+        _render_cams(jittered, state, field, bg, style_f, sub / "jitter",
+                     max_per_tile, sel=sel)
     return str(root)

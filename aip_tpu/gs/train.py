@@ -77,6 +77,18 @@ class GSTrainConfig:
     macro_above_pixels: int = 256 * 256
     macro: int = 4
     macro_capacity: int = 1024
+    # Pair-sort selection shape for TRAINING renders. The defaults
+    # truncate: splats spanning > dup_span macro blocks route through a
+    # giant_capacity-capped per-supertile merge, and trained scenes grow
+    # thousands of such splats (BENCHMARKS.md "Real-scene exactness") —
+    # the model then learns to look right UNDER that truncation, so
+    # inference must render with the SAME shape (recorded in
+    # cfg_args.json "selection"). Fit them up front with
+    # render.fit_selection on the initial scene (+ margin) to train
+    # exactly instead; selection cost grows with the fitted
+    # giant_capacity (~+30% frame time on giant-heavy scenes).
+    dup_span: int = 3
+    giant_capacity: int = 128
     white_background: bool = False
     # Capacity-bucket recompaction (TPU-first; see G.capacity_bucket):
     # after prune events the live set is packed to the front and every
@@ -430,6 +442,7 @@ def make_settings_from_dims(height: int, width: int, cfg: GSTrainConfig,
         image_height=height, image_width=width,
         max_per_tile=cfg.max_per_tile, chunk=cfg.raster_chunk,
         macro=macro, macro_capacity=cfg.macro_capacity,
+        dup_span=cfg.dup_span, giant_capacity=cfg.giant_capacity,
         remat_composite=remat and ad_backend == "xla",
         ad_backend=ad_backend,
         opacity_cull=cfg.opacity_cull,

@@ -29,6 +29,9 @@ def main():
     p.add_argument("--max_per_tile", type=int, default=128)
     p.add_argument("--macro_capacity", type=int, default=1024)
     p.add_argument("--views_per_step", type=int, default=1)
+    p.add_argument("--fit_train_selection", action="store_true",
+                   help="train with the selection shape fitted to the "
+                        "scene (no giant truncation; BENCHMARKS.md)")
     args = p.parse_args()
 
     from aip_tpu.gs.pipeline import run_3dgs_training, run_3dgs_rendering
@@ -47,6 +50,7 @@ def main():
         max_per_tile=args.max_per_tile,
         macro_capacity=args.macro_capacity,
         views_per_step=args.views_per_step,
+        fit_train_selection=args.fit_train_selection,
     )
     t_train = time.time() - t0
     print(f"TRAIN done in {t_train/60:.1f} min -> {model}", flush=True)

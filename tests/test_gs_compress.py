@@ -114,6 +114,53 @@ def test_train_save_render_pipeline(tmp_path, rng, monkeypatch):
     assert (model_dir / "renders" / "00000.png").exists()
 
 
+def test_fit_train_selection_records_shape(tmp_path, rng, monkeypatch):
+    """run_3dgs_training(fit_train_selection=True) fits the selection to
+    the initial cloud, records it in cfg_args["selection"], and
+    run_3dgs_rendering renders with the recorded shape."""
+    import json
+    from pathlib import Path
+
+    from PIL import Image
+
+    from aip_tpu.models import weights as weights_mod
+    from aip_tpu.gs.pipeline import run_3dgs_rendering, run_3dgs_training
+
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+
+    (tmp_path / "scene" / "images").mkdir(parents=True)
+    frames = []
+    for i in range(2):
+        c2w = np.eye(4)
+        c2w[2, 3] = 3.0 - i * 0.5
+        frames.append({"file_path": f"./images/r_{i}",
+                       "transform_matrix": c2w.tolist()})
+        img = np.zeros((32, 32, 4), np.uint8)
+        img[8:24, 8:24] = (60, 200, 60, 255)
+        img[..., 3] = 255
+        Image.fromarray(img).save(tmp_path / "scene" / "images" / f"r_{i}.png")
+    (tmp_path / "scene" / "transforms_train.json").write_text(
+        json.dumps({"camera_angle_x": 0.8, "frames": frames}))
+    Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(
+        tmp_path / "style.png")
+
+    model = run_3dgs_training(
+        str(tmp_path / "scene"), str(tmp_path / "style.png"),
+        model_path=str(tmp_path / "model"), iterations=6, freeze_iters=4,
+        capacity=128, log2_hashmap=10, img_size=32, max_per_tile=16,
+        progress_every=0, fit_train_selection=True)
+
+    cfg_args = json.loads((Path(model) / "cfg_args.json").read_text())
+    sel = cfg_args["selection"]
+    assert set(sel) == {"macro_capacity", "dup_span", "giant_capacity"}
+    assert 2 <= sel["dup_span"] <= 6
+    assert sel["giant_capacity"] >= 128
+
+    gif = run_3dgs_rendering(str(tmp_path / "style.png"), model,
+                             max_per_tile=16)
+    assert Path(gif).exists()
+
+
 def test_ply_export_import_roundtrip(tmp_path, rng):
     from aip_tpu.gs.compress import save_ply, load_ply
 
