@@ -50,7 +50,11 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32)
-    p.add_argument("--chain", type=int, default=4)
+    # 16 chained dispatches per sync: the axon relay costs ~29 ms per
+    # dispatch+sync round trip (BENCHMARKS.md measurement note), and the
+    # GS benches chain 16 for the same reason. Per-dispatch overhead
+    # (~1.9 ms) stays in the number — it is real serving cost.
+    p.add_argument("--chain", type=int, default=16)
     args = p.parse_args()
 
     wait_for_device()
