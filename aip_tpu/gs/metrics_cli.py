@@ -30,10 +30,24 @@ def evaluate(model_paths, use_lpips: bool = True) -> dict:
     reference's two json files per model."""
     results_all = {}
     vgg16 = None
+    lin_weights = None
+    lpips_provenance = None
     if use_lpips:
-        from aip_tpu.models.lpips import get_vgg16_params
+        from aip_tpu.models.lpips import get_lin_weights, get_vgg16_params
 
         vgg16 = get_vgg16_params()
+        lin_weights = get_lin_weights("vgg")
+        lpips_provenance = "learned" if lin_weights is not None else "uniform-fallback"
+        if lin_weights is None:
+            import sys
+
+            print(
+                "WARNING: LPIPS lin weights unavailable — using the UNIFORM "
+                "per-channel fallback. Scores are self-consistent but NOT "
+                "comparable to published LPIPS values (results.json records "
+                "lpips_weights='uniform-fallback').",
+                file=sys.stderr,
+            )
 
     for model_path in model_paths:
         model_path = Path(model_path)
@@ -52,13 +66,16 @@ def evaluate(model_paths, use_lpips: bool = True) -> dict:
                 if vgg16 is not None:
                     from aip_tpu.models.lpips import lpips
 
-                    lpipss.append(float(lpips(rj, gj, vgg16)[0]))
+                    lpipss.append(float(lpips(rj, gj, vgg16,
+                                              lin_weights=lin_weights)[0]))
             method = method_dir.name
             full_dict[method] = {
                 "SSIM": float(np.mean(ssims)) if ssims else None,
                 "PSNR": float(np.mean(psnrs)) if psnrs else None,
                 "LPIPS": float(np.mean(lpipss)) if lpipss else None,
             }
+            if lpips_provenance is not None:
+                full_dict[method]["lpips_weights"] = lpips_provenance
             per_view[method] = {
                 "SSIM": dict(zip(names, ssims)),
                 "PSNR": dict(zip(names, psnrs)),

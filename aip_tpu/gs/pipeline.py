@@ -86,6 +86,10 @@ def run_3dgs_training(
         cfg = dataclasses.replace(
             cfg, dup_span=sel0["dup_span"],
             giant_capacity=sel0["giant_capacity"],
+            giant_backend=sel0.get("giant_backend", "merge"),
+            giant_span=sel0.get("giant_span", cfg.giant_span),
+            giant_pool=sel0.get("giant_pool", cfg.giant_pool),
+            giant_pool_full=sel0.get("giant_pool_full", cfg.giant_pool_full),
             macro_capacity=max(macro_capacity, sel0["macro_capacity"]))
     trainer, style_f = train(
         scene, style_img_path, cfg,
@@ -125,6 +129,10 @@ def run_3dgs_training(
             "macro_capacity": cfg.macro_capacity,
             "dup_span": cfg.dup_span,
             "giant_capacity": cfg.giant_capacity,
+            "giant_backend": cfg.giant_backend,
+            "giant_span": cfg.giant_span,
+            "giant_pool": cfg.giant_pool,
+            "giant_pool_full": cfg.giant_pool_full,
         },
     }))
     return str(model_path)
@@ -147,8 +155,7 @@ def run_3dgs_rendering(
     splat sets beyond one chip's HBM; exact vs the replicated renderer."""
     from PIL import Image
 
-    from aip_tpu.gs.render import fit_selection, render
-    from aip_tpu.gs.rasterizer import RasterSettings
+    from aip_tpu.gs.render import fit_selection, render, settings_from_selection
     from aip_tpu.pipelines.adain_infer import get_style_embeddings, _to_array
 
     model_path = Path(model_path)
@@ -174,7 +181,7 @@ def run_3dgs_rendering(
         # Legacy model (no recorded shape): reproduce the legacy render
         # behavior — fitted capacity, default spans.
         sel = dict(fit_selection(state, cams_all), dup_span=3,
-                   giant_capacity=128)
+                   giant_capacity=128, giant_backend="merge")
     else:
         sel = {"macro_capacity": 1024, "dup_span": 2,
                "giant_capacity": 128}
@@ -190,11 +197,9 @@ def run_3dgs_rendering(
     mesh = _dp_mesh(mesh_dp)
     frames = []
     for i, cam in enumerate(cams_all):
-        settings = RasterSettings(
-            image_height=cam.image_height, image_width=cam.image_width,
-            max_per_tile=max_per_tile, macro_capacity=sel["macro_capacity"],
-            dup_span=sel["dup_span"], giant_capacity=sel["giant_capacity"],
-        )
+        settings = settings_from_selection(
+            sel, cam.image_height, cam.image_width,
+            max_per_tile=max_per_tile)
         out = render(cam, state, field, bg, style_f=style_f, mode="inference",
                      settings=settings, renderer=renderer, mesh=mesh)
         img = np.clip(np.asarray(out.render), 0, 1)

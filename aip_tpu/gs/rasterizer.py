@@ -87,6 +87,23 @@ class RasterSettings(NamedTuple):
     # (real scenes have orders of magnitude fewer); beyond that the
     # rearmost giants drop first — the same bias giant_capacity applies.
     giant_pool: int = 16384
+    # Giant handling backend. 'merge': the super-grid top-k merge above
+    # (giant_capacity slots per supertile, then per-block hit testing over
+    # [n_blocks, kg] broadcast rows — cost grows with kg, and giant-heavy
+    # trained scenes need kg in the thousands: bed_0037 fitted kg=5184
+    # measured ~70 ms/frame of giant overhead at 800^2). 'direct': giants
+    # are compacted into depth-sorted pools and emit (block, depth, id)
+    # pairs STRAIGHT into the pair sort, anchored at each giant's clipped
+    # rect — no top_k, no supertile merge, no [S, kg] gathers. Two tiers:
+    # clipped span <= giant_span blocks emits [span, span, pool] anchored
+    # slots (giant_pool); wider monsters emit against the full block grid
+    # from a smaller pool (giant_pool_full). Coverage is exact per pooled
+    # splat by construction; beyond-pool giants drop rearmost-first (same
+    # bias as 'merge', but the default pools are ~100x deeper than
+    # kg=128). fit_selection sizes the pools to measured scene demand.
+    giant_backend: str = "merge"
+    giant_span: int = 8
+    giant_pool_full: int = 1024
     # Macro-block composite backend for rasterize_matmul: 'matmul' (dense
     # XLA quadratic-basis MXU pipeline), 'pallas' (candidate walk with
     # group-level saturation early-exit), or 'mxu' (dense-group Pallas
@@ -356,12 +373,17 @@ def select_macro_pairsort(mean2d, depths, radii, valid, mth, mtw,
     bs = m * TILE
     kc = settings.macro_capacity
     d_span = settings.dup_span
-    if settings.giant_capacity <= 0:
+    if settings.giant_backend == "merge" and settings.giant_capacity <= 0:
         raise ValueError(
             "select_macro_pairsort needs giant_capacity > 0: Gaussians "
             "wider than dup_span macro blocks are recovered only through "
             "the super-grid giant pass, so 0 would silently drop them. "
             "Use select_backend='merge' for an uncapped selection.")
+    if settings.giant_backend == "direct" and settings.giant_pool_full <= 0:
+        raise ValueError(
+            "giant_backend='direct' needs giant_pool_full > 0: splats "
+            "spanning more than giant_span blocks are emitted only from "
+            "the full-grid pool, so 0 would silently drop them.")
     n_blocks = mth * mtw
     n = mean2d.shape[0]
 
@@ -416,10 +438,64 @@ def select_macro_pairsort(mean2d, depths, radii, valid, mth, mtw,
         # Broadcast (not gather) the quantized depth into the normal pairs.
         dqv = jnp.where(ok, dq[None, None, :], 0).reshape(-1)
 
-    # ---- Giants: coarse super grid (clipped rects always fit) -> extra
-    # (block, giant) pairs appended to the same sort.
+    # ---- Giants (bounding rect wider than dup_span blocks).
     kg = settings.giant_capacity
-    if kg > 0:
+    if settings.giant_backend == "direct":
+        # Direct pair emission from depth-compacted pools: each pooled
+        # giant emits one (block, depth, id) pair per overlapped block —
+        # anchored static slots for spans <= giant_span, full-grid slots
+        # for wider monsters. No supertile merge / top_k / [S, kg]
+        # gathers; exact coverage per pooled splat by construction
+        # (the merge backend at the fitted kg~5k measured ~70 ms/frame of
+        # giant overhead on bed_0037 at 800^2 — see BENCHMARKS.md).
+        gx0 = jnp.clip(x0, 0, mtw - 1)
+        gx1 = jnp.clip(x1, 0, mtw - 1)
+        gy0 = jnp.clip(y0, 0, mth - 1)
+        gy1 = jnp.clip(y1, 0, mth - 1)
+        spn = settings.giant_span
+        near = giant & (gx1 - gx0 < spn) & (gy1 - gy0 < spn)
+        far = giant & ~near
+        ids = jnp.arange(n, dtype=jnp.int32)
+
+        def emit(sel_mask, pool, span_y, span_x, anchored):
+            pool = min(pool, n)
+            key = jnp.where(sel_mask, depths, jnp.inf)
+            _, pidx = jax.lax.sort((key, ids), num_keys=1)
+            pidx = pidx[:pool]
+            pv = sel_mask[pidx]
+            ax0, ax1 = gx0[pidx], gx1[pidx]
+            ay0, ay1 = gy0[pidx], gy1[pidx]
+            ox = jnp.arange(span_x, dtype=jnp.int32)
+            oy = jnp.arange(span_y, dtype=jnp.int32)
+            if anchored:
+                bxs = ox[:, None] + ax0[None, :]           # [Sx, P]
+                bys = oy[:, None] + ay0[None, :]
+                okx = bxs <= ax1[None, :]
+                oky = bys <= ay1[None, :]
+            else:
+                bxs = jnp.broadcast_to(ox[:, None], (span_x, pool))
+                bys = jnp.broadcast_to(oy[:, None], (span_y, pool))
+                okx = (bxs >= ax0[None, :]) & (bxs <= ax1[None, :])
+                oky = (bys >= ay0[None, :]) & (bys <= ay1[None, :])
+            ok2 = oky[:, None, :] & okx[None, :, :] & pv[None, None, :]
+            b = jnp.where(ok2, bys[:, None, :] * mtw + bxs[None, :, :],
+                          n_blocks)
+            g = jnp.broadcast_to(pidx[None, None, :], ok2.shape)
+            dv = (jnp.where(ok2, dq[pidx][None, None, :], 0).reshape(-1)
+                  if packed else None)
+            return (b.reshape(-1), g.reshape(-1).astype(jnp.int32),
+                    ok2.reshape(-1), dv)
+
+        parts = [emit(near, settings.giant_pool, spn, spn, True),
+                 emit(far, settings.giant_pool_full, mth, mtw, False)]
+        blk = jnp.concatenate([blk] + [p[0] for p in parts])
+        gid = jnp.concatenate([gid] + [p[1] for p in parts])
+        ok_flat = jnp.concatenate([ok_flat] + [p[2] for p in parts])
+        if packed:
+            dqv = jnp.concatenate([dqv] + [p[3] for p in parts])
+    elif kg > 0:
+        # Coarse super grid (clipped rects always fit) -> extra
+        # (block, giant) pairs appended to the same sort.
         sb = max(1, math.ceil(max(mth, mtw) / 4))  # super grid <= 4x4 blocks
         sth = math.ceil(mth / sb)
         stw = math.ceil(mtw / sb)

@@ -42,6 +42,22 @@ def make_settings(camera, max_per_tile: int = 128, chunk: int = 4096) -> RasterS
     )
 
 
+# Selection-dict keys that map 1:1 onto RasterSettings fields (the schema
+# of fit_selection's return value and cfg_args.json["selection"]; absent
+# keys keep the RasterSettings defaults, so legacy recorded shapes load).
+SELECTION_KEYS = ("macro_capacity", "dup_span", "giant_capacity",
+                  "giant_backend", "giant_span", "giant_pool",
+                  "giant_pool_full")
+
+
+def settings_from_selection(sel: dict, height: int, width: int,
+                            max_per_tile: int = 128, **kw) -> RasterSettings:
+    """RasterSettings from a (possibly legacy) selection dict."""
+    fields = {k: sel[k] for k in SELECTION_KEYS if k in sel}
+    return RasterSettings(image_height=height, image_width=width,
+                          max_per_tile=max_per_tile, **fields, **kw)
+
+
 def fit_selection(state: G.GaussianState, cams, macro: int = 4,
                   sample: int = 8, margin: float = 1.15,
                   lo: int = 1024, hi: int = 4096,
@@ -77,7 +93,8 @@ def fit_selection(state: G.GaussianState, cams, macro: int = 4,
 
     cams = list(cams)
     if not cams:
-        return {"macro_capacity": lo, "dup_span": 2, "giant_capacity": 128}
+        return {"macro_capacity": lo, "dup_span": 2, "giant_capacity": 128,
+                "giant_backend": "merge"}
     step = max(1, len(cams) // sample)
     scales = jnp.exp(state.scaling)
     opac = jax.nn.sigmoid(state.opacity)[:, 0]
@@ -88,6 +105,11 @@ def fit_selection(state: G.GaussianState, cams, macro: int = 4,
     # worst per-supertile giant count for each candidate dup_span
     spans = list(range(2, max_span + 1))
     worst_giants = {d: 0 for d in spans}
+    # direct-emission pools: giants with clipped span <= giant_span go in
+    # the anchored pool, wider monsters in the full-grid pool
+    giant_span = 8
+    worst_near = {d: 0 for d in spans}
+    worst_far = {d: 0 for d in spans}
     for cam in cams[::step]:
         s = RasterSettings(image_height=cam.image_height,
                            image_width=cam.image_width)
@@ -138,6 +160,9 @@ def fit_selection(state: G.GaussianState, cams, macro: int = 4,
                 continue
             h = rect_hist((sth, stw), sy0[g], sx0[g], sy1[g], sx1[g])
             worst_giants[d_span] = max(worst_giants[d_span], int(h.max()))
+            near = g & (x1 - x0 < giant_span) & (y1 - y0 < giant_span)
+            worst_near[d_span] = max(worst_near[d_span], int(near.sum()))
+            worst_far[d_span] = max(worst_far[d_span], int((g & ~near).sum()))
 
     cap = -(-int(worst * margin) // 64) * 64
     kc = max(lo, min(hi, cap))
@@ -145,10 +170,25 @@ def fit_selection(state: G.GaussianState, cams, macro: int = 4,
     def giant_cap(d_span):
         return max(128, -(-int(worst_giants[d_span] * margin) // 64) * 64)
 
-    dup = min(spans, key=lambda d: n_alive_max * d * d
-              + n_blocks_max * giant_cap(d))
+    def bucket(count, floor):
+        return max(floor, -(-int(count * margin) // 64) * 64)
+
+    # Direct emission: pairs = normal duplicates + anchored giant slots +
+    # full-grid monster slots. Minimizing emitted slots picks dup_span; the
+    # pools size to measured counts (+margin for novel views) — exact
+    # coverage whenever the live counts stay under them (beyond-pool giants
+    # drop rearmost-first, like a capped CUDA tile list).
+    def direct_cost(d):
+        return (n_alive_max * d * d
+                + bucket(worst_near[d], 128) * giant_span * giant_span
+                + bucket(worst_far[d], 64) * n_blocks_max)
+
+    dup = min(spans, key=direct_cost)
     return {"macro_capacity": kc, "dup_span": dup,
-            "giant_capacity": giant_cap(dup)}
+            "giant_capacity": giant_cap(dup),
+            "giant_backend": "direct", "giant_span": giant_span,
+            "giant_pool": bucket(worst_near[dup], 128),
+            "giant_pool_full": bucket(worst_far[dup], 64)}
 
 
 def fit_macro_capacity(state: G.GaussianState, cams, macro: int = 4,

@@ -27,10 +27,7 @@ def _load(model_path):
 def _render_cams(cams, state, field, bg, style_f, out_dir, max_per_tile=128,
                  mesh_dp: int = 0, sel=None):
     from PIL import Image
-    from aip_tpu.gs.render import fit_selection
-
-    from aip_tpu.gs.render import render
-    from aip_tpu.gs.rasterizer import RasterSettings
+    from aip_tpu.gs.render import fit_selection, render, settings_from_selection
     from aip_tpu.parallel.mesh import make_dp_mesh
 
     out_dir = Path(out_dir)
@@ -45,17 +42,14 @@ def _render_cams(cams, state, field, bg, style_f, out_dir, max_per_tile=128,
         # No training-recorded shape: fit capacity, keep the legacy
         # spans (matches what a shape-unrecorded model trained with).
         sel = (dict(fit_selection(state, cams), dup_span=3,
-                    giant_capacity=128) if uses_macro
+                    giant_capacity=128, giant_backend="merge") if uses_macro
                else {"macro_capacity": 1024, "dup_span": 2,
                      "giant_capacity": 128})
     paths = []
     for i, cam in enumerate(cams):
-        settings = RasterSettings(image_height=cam.image_height,
-                                  image_width=cam.image_width,
-                                  max_per_tile=max_per_tile,
-                                  macro_capacity=sel["macro_capacity"],
-                                  dup_span=sel["dup_span"],
-                                  giant_capacity=sel["giant_capacity"])
+        settings = settings_from_selection(
+            sel, cam.image_height, cam.image_width,
+            max_per_tile=max_per_tile)
         out = render(cam, state, field, bg, style_f=style_f, mode="inference",
                      settings=settings, mesh=mesh)
         img = (np.clip(np.asarray(out.render), 0, 1) * 255).astype(np.uint8)

@@ -89,6 +89,14 @@ class GSTrainConfig:
     # giant_capacity (~+30% frame time on giant-heavy scenes).
     dup_span: int = 3
     giant_capacity: int = 128
+    # Giant handling backend (RasterSettings.giant_backend): 'direct' emits
+    # giant pairs straight into the pair sort from depth-compacted pools
+    # (exact coverage per pooled splat, no supertile merge) — the fitted
+    # selection path uses it; 'merge' is the legacy capped supertile merge.
+    giant_backend: str = "merge"
+    giant_span: int = 8
+    giant_pool: int = 16384
+    giant_pool_full: int = 1024
     white_background: bool = False
     # Capacity-bucket recompaction (TPU-first; see G.capacity_bucket):
     # after prune events the live set is packed to the front and every
@@ -443,6 +451,8 @@ def make_settings_from_dims(height: int, width: int, cfg: GSTrainConfig,
         max_per_tile=cfg.max_per_tile, chunk=cfg.raster_chunk,
         macro=macro, macro_capacity=cfg.macro_capacity,
         dup_span=cfg.dup_span, giant_capacity=cfg.giant_capacity,
+        giant_backend=cfg.giant_backend, giant_span=cfg.giant_span,
+        giant_pool=cfg.giant_pool, giant_pool_full=cfg.giant_pool_full,
         remat_composite=remat and ad_backend == "xla",
         ad_backend=ad_backend,
         opacity_cull=cfg.opacity_cull,
@@ -594,14 +604,14 @@ def train(
 
         vggp = weights_mod.get_vgg_params()
         decp = weights_mod.get_decoder_params()
-        style_t = _test_transform(_to_array(style_image), img_size, False)
+        style_t = _test_transform(style_image, img_size, False)
         s_mean, s_std = precompute_style_stats(vggp, style_t[None])
         Path(guide_out).mkdir(parents=True, exist_ok=True)
         bsz = guide_batch
         for i0 in range(0, len(cams), bsz):
             chunk = cams[i0:i0 + bsz]
             gts = [(c.image * 255).astype(np.uint8) for c in chunk]
-            cb = jnp.stack([_test_transform(_to_array(g), img_size, False)
+            cb = jnp.stack([_test_transform(g, img_size, False)
                             for g in gts])
             # Binary mask composite at the working size (test.py:222-236);
             # stylize_batch_with_stats also restores the content size when
@@ -633,6 +643,7 @@ def train(
                 file_name=cam.image_name,
                 use_depth=use_depth, depth_offset=depth_offset,
                 depth_prominence=depth_prominence,
+                compute_dtype=jnp.bfloat16,  # match the batched guide path
             )
             guides[cam.image_name] = resize_bilinear(
                 jnp.asarray(_to_array(path)),

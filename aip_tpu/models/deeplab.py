@@ -18,8 +18,14 @@ import jax.numpy as jnp
 from aip_tpu.models.resnet import _bn, _init_bn
 
 # ResNet-101 stages; layer3/layer4 are dilated (stride 1) for output_stride 8.
-STAGES = ((3, 64, 256, 1, 1), (4, 128, 512, 2, 1),
-          (23, 256, 1024, 1, 2), (3, 512, 2048, 1, 4))
+# (blocks, width, out, first-block stride, dilation, first-block dilation):
+# torchvision's _make_layer gives the FIRST block of a dilated stage the
+# PREVIOUS stage's dilation (`previous_dilation` in
+# torchvision/models/resnet.py) — layer3 block 0 runs at dilation 1 and
+# layer4 block 0 at dilation 2, only the remaining blocks use the stage
+# dilation.
+STAGES = ((3, 64, 256, 1, 1, 1), (4, 128, 512, 2, 1, 1),
+          (23, 256, 1024, 1, 2, 1), (3, 512, 2048, 1, 4, 2))
 ASPP_RATES = (12, 24, 36)
 NUM_CLASSES = 21
 
@@ -43,7 +49,7 @@ def init_deeplab_params(key: jax.Array) -> dict:
     params = {"stem_w": _init_w(next(keys), 7, 7, 3, 64), "stem_bn": _init_bn(64),
               "stages": []}
     cin = 64
-    for blocks, width, out, _stride, _dil in STAGES:
+    for blocks, width, out, _stride, _dil, _fdil in STAGES:
         stage = []
         for bi in range(blocks):
             block = {
@@ -90,13 +96,15 @@ def deeplab_logits(params: dict, x01: jax.Array) -> jax.Array:
     x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
     x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
 
-    for (blocks, _wd, _out, stride, dilation), stage in zip(STAGES, params["stages"]):
+    for (blocks, _wd, _out, stride, dilation, first_dil), stage in zip(
+            STAGES, params["stages"]):
         for bi, block in enumerate(stage):
             s = stride if bi == 0 else 1
+            dil = first_dil if bi == 0 else dilation
             identity = x
             y = jax.nn.relu(_bn(_conv(x, block["conv1_w"]), block["bn1"]))
             y = jax.nn.relu(_bn(_conv(y, block["conv2_w"], stride=s,
-                                      dilation=dilation), block["bn2"]))
+                                      dilation=dil), block["bn2"]))
             y = _bn(_conv(y, block["conv3_w"]), block["bn3"])
             if "down_w" in block:
                 identity = _bn(_conv(x, block["down_w"], stride=s), block["down_bn"])

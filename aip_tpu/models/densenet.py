@@ -17,9 +17,12 @@ GROWTH = 32
 INIT_FEATURES = 64
 
 
-def _conv(x, w, stride=1, padding="SAME"):
+def _conv(x, w, stride=1):
+    # Symmetric torch padding; XLA "SAME" is asymmetric under stride 2.
+    k = w.shape[0]
+    pad = (k - 1) // 2
     return jax.lax.conv_general_dilated(
-        x, w, (stride, stride), padding,
+        x, w, (stride, stride), [(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
 

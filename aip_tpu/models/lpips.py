@@ -15,6 +15,7 @@ LPIPS.
 from __future__ import annotations
 
 import functools
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -282,3 +283,35 @@ def get_extractor_params(net: str = "vgg", torch_path=None):
     if net == "squeeze":
         return get_squeezenet_params(torch_path)
     raise ValueError(f"unknown LPIPS net {net!r}")
+
+
+def get_lin_weights(net: str = "vgg", torch_path=None):
+    """Learned per-channel "lin" weights (richzhang checkpoints,
+    `lpipsPyTorch/modules/utils.py:11-30`), or None when unavailable.
+
+    Returns a list of [C] arrays (one per tap) converted from the torch
+    state_dict keys ``lin{i}.model.1.weight`` of shape [1, C, 1, 1]. A None
+    return means `lpips()` falls back to the UNIFORM per-channel mean —
+    scores are self-consistent but NOT comparable to published LPIPS values;
+    callers should surface that (see gs/metrics_cli.py `lpips_weights`).
+    """
+    import numpy as np
+
+    from aip_tpu.models import weights as weights_mod
+
+    cache = weights_mod.DEFAULT_WEIGHTS_DIR / f"lpips_lin_{net}.npz"
+    if cache.is_file():
+        d = np.load(cache)
+        return [jnp.asarray(d[f"l{i}"]) for i in range(len(d.files))]
+    if torch_path is not None and weights_mod._is_real_checkpoint(Path(torch_path)):
+        sd = weights_mod._load_torch_state_dict(Path(torch_path))
+        lins = []
+        for i in range(len(NET_CHANNELS[net])):
+            key = next(k for k in (f"lin{i}.model.1.weight", f"lin.{i}.model.1.weight")
+                       if k in sd)
+            w = np.asarray(sd[key], np.float32).reshape(-1)
+            lins.append(w)
+        cache.parent.mkdir(parents=True, exist_ok=True)
+        np.savez(cache, **{f"l{i}": w for i, w in enumerate(lins)})
+        return [jnp.asarray(w) for w in lins]
+    return None

@@ -20,9 +20,13 @@ STAGES = ((3, 64, 256), (4, 128, 512), (6, 256, 1024), (3, 512, 2048))
 
 
 def _conv(x, p, stride=1):
+    # Explicit symmetric torch padding ((k-1)//2 each side): XLA "SAME" pads
+    # ASYMMETRICALLY for stride 2 on even inputs (TF rule), which shifts
+    # every stride-2 conv one pixel off torchvision.
+    k = p["w"].shape[0]
+    pad = (k - 1) // 2
     return jax.lax.conv_general_dilated(
-        x, p["w"], (stride, stride),
-        "SAME" if p["w"].shape[0] > 1 else "VALID",
+        x, p["w"], (stride, stride), [(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
 

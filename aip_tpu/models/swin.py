@@ -82,34 +82,36 @@ def init_swin_t_params(key: jax.Array) -> dict:
     return params
 
 
-def _window_partition(x, shift):
-    """[N, H, W, C] -> [N*nW, 49, C] (+ attention mask for shifted blocks)."""
+def _window_partition(x, sh, sw):
+    """[N, H, W, C] -> [N*nW, 49, C]; (sh, sw) is the cyclic shift."""
     n, h, w, c = x.shape
-    if shift:
-        x = jnp.roll(x, (-WINDOW // 2, -WINDOW // 2), axis=(1, 2))
+    if sh or sw:
+        x = jnp.roll(x, (-sh, -sw), axis=(1, 2))
     nh, nw = h // WINDOW, w // WINDOW
     xw = x.reshape(n, nh, WINDOW, nw, WINDOW, c).transpose(0, 1, 3, 2, 4, 5)
     return xw.reshape(n * nh * nw, WINDOW * WINDOW, c), (n, nh, nw)
 
 
-def _window_reverse(xw, dims, h, w, c, shift):
+def _window_reverse(xw, dims, h, w, c, sh, sw):
     n, nh, nw = dims
     x = xw.reshape(n, nh, nw, WINDOW, WINDOW, c).transpose(0, 1, 3, 2, 4, 5)
     x = x.reshape(n, h, w, c)
-    if shift:
-        x = jnp.roll(x, (WINDOW // 2, WINDOW // 2), axis=(1, 2))
+    if sh or sw:
+        x = jnp.roll(x, (sh, sw), axis=(1, 2))
     return x
 
 
-def _shift_mask(h, w):
-    """Attention mask for shifted windows (cross-boundary pairs masked)."""
-    img = np.zeros((h, w))
-    cnt = 0
-    s = WINDOW // 2
-    for hs in (slice(0, -WINDOW), slice(-WINDOW, -s), slice(-s, None)):
-        for ws in (slice(0, -WINDOW), slice(-WINDOW, -s), slice(-s, None)):
-            img[hs, ws] = cnt
-            cnt += 1
+def _shift_mask(h, w, sh, sw):
+    """Attention mask for shifted windows (cross-boundary pairs masked).
+    Per-axis: an unshifted axis contributes no region boundaries."""
+    def regions(n, s):
+        ids = np.zeros(n)
+        if s:
+            ids[-WINDOW:-s] = 1
+            ids[-s:] = 2
+        return ids
+
+    img = regions(h, sh)[:, None] * 3 + regions(w, sw)[None, :]
     nh, nw = h // WINDOW, w // WINDOW
     win = img.reshape(nh, WINDOW, nw, WINDOW).transpose(0, 2, 1, 3).reshape(-1, WINDOW * WINDOW)
     mask = (win[:, :, None] != win[:, None, :]) * -100.0  # [nW, 49, 49]
@@ -124,10 +126,15 @@ def _block(x, p, heads, shift):
     if ph or pw:
         x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
     n, h, w, c = x.shape
+    # torchvision shifted_window_attention: no shift along an axis whose
+    # padded extent fits in one window (stage 4 of a 224 input is 7x7 —
+    # shifting there would wrongly mask pairs inside the only window).
+    sh = WINDOW // 2 if (shift and h > WINDOW) else 0
+    sw = WINDOW // 2 if (shift and w > WINDOW) else 0
     head_dim = c // heads
     shortcut = x
     y = _ln(x, p["ln1"])
-    yw, dims = _window_partition(y, shift)
+    yw, dims = _window_partition(y, sh, sw)
     nw_total, t, _ = yw.shape
 
     qkv = yw @ p["qkv"]["w"] + p["qkv"]["b"]
@@ -136,18 +143,19 @@ def _block(x, p, heads, shift):
     attn = (q @ jnp.swapaxes(k, -1, -2)) * (head_dim ** -0.5)
     bias = p["bias_table"][jnp.asarray(_REL_IDX)]  # [49, 49, heads]
     attn = attn + bias.transpose(2, 0, 1)[None]
-    if shift:
-        m = _shift_mask(h, w)  # [nW_per_img, 49, 49]
+    if sh or sw:
+        m = _shift_mask(h, w, sh, sw)  # [nW_per_img, 49, 49]
         n_img = dims[0]
         attn = attn.reshape(n_img, -1, heads, t, t) + m[None, :, None]
         attn = attn.reshape(nw_total, heads, t, t)
     attn = jax.nn.softmax(attn, axis=-1)
     out = (attn @ v).transpose(0, 2, 1, 3).reshape(nw_total, t, c)
     out = out @ p["proj"]["w"] + p["proj"]["b"]
-    x = shortcut + _window_reverse(out, dims, h, w, c, shift)
+    x = shortcut + _window_reverse(out, dims, h, w, c, sh, sw)
 
     y = _ln(x, p["ln2"])
-    y = jax.nn.gelu(y @ p["fc1"]["w"] + p["fc1"]["b"])
+    # torchvision's nn.GELU is the exact erf form (JAX defaults to tanh).
+    y = jax.nn.gelu(y @ p["fc1"]["w"] + p["fc1"]["b"], approximate=False)
     y = y @ p["fc2"]["w"] + p["fc2"]["b"]
     out = x + y
     if ph or pw:
@@ -175,10 +183,12 @@ def swin_t_features(params: dict, x01: jax.Array) -> dict:
             n, h, w, c = x.shape
             if h % 2 or w % 2:
                 x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
-                n, h, w, c = x.shape
-            x = x.reshape(n, h // 2, 2, w // 2, 2, c)
-            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
-            # torchvision merge order: [x0, x1, x2, x3] = (0,0),(1,0),(0,1),(1,1)
+            # torchvision PatchMerging concat order: [x0, x1, x2, x3] =
+            # (h+0,w+0), (h+1,w+0), (h+0,w+1), (h+1,w+1) — h-offset varies
+            # FIRST (a reshape/transpose pack gives w-offset-first and
+            # silently permutes the 4c channel groups vs the checkpoint).
+            x = jnp.concatenate([x[:, 0::2, 0::2], x[:, 1::2, 0::2],
+                                 x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
             x = _ln(x, stage["merge_ln"])
             x = x @ stage["merge_w"]["w"] + stage["merge_w"]["b"]
     feats["swin"] = _ln(x, params["final_ln"])
@@ -199,8 +209,11 @@ def _convert_torch_swin(sd: dict) -> dict:
     """Best-effort torchvision swin_t conversion (features.{0,1,3,5,7} =
     patch embed + stages, features.{2,4,6} = patch merges)."""
     def lin(prefix):
-        return {"w": jnp.asarray(np.asarray(sd[f"{prefix}.weight"], np.float32).T),
-                "b": jnp.asarray(np.asarray(sd[f"{prefix}.bias"], np.float32))}
+        w = np.asarray(sd[f"{prefix}.weight"], np.float32).T
+        # PatchMerging's reduction Linear is bias-free in torchvision.
+        b = (np.asarray(sd[f"{prefix}.bias"], np.float32)
+             if f"{prefix}.bias" in sd else np.zeros(w.shape[1], np.float32))
+        return {"w": jnp.asarray(w), "b": jnp.asarray(b)}
 
     def ln(prefix):
         return {"g": jnp.asarray(np.asarray(sd[f"{prefix}.weight"], np.float32)),

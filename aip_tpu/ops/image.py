@@ -145,13 +145,23 @@ def resize_bilinear(x: jax.Array, size: tuple[int, int], antialias: bool = False
 
 def resize_nearest(x: jax.Array, size: tuple[int, int]) -> jax.Array:
     """Nearest resize with torch *legacy* index rule ``src = floor(dst*in/out)``
-    (``F.interpolate(mode='nearest')`` / ``nn.Upsample(mode='nearest')``)."""
+    (``F.interpolate(mode='nearest')`` / ``nn.Upsample(mode='nearest')``).
+
+    The index arithmetic is float32 on purpose: ATen computes
+    ``floorf(dst * (float)in/out)`` in single precision, and exact-integer
+    products (e.g. 341 * 400/682 = 200) land one source pixel differently
+    under float64 — bit-parity on binary masks needs torch's exact rule.
+    """
     x, squeeze = _ensure_nhwc(x)
     h, w = x.shape[1], x.shape[2]
     oh, ow = size
-    ih = np.minimum((np.arange(oh) * (h / oh)).astype(np.int64), h - 1)
-    iw = np.minimum((np.arange(ow) * (w / ow)).astype(np.int64), w - 1)
-    out = x[:, jnp.asarray(ih)][:, :, jnp.asarray(iw)]
+
+    def src_idx(n_in, n_out):
+        scale = np.float32(n_in) / np.float32(n_out)
+        i = np.floor(np.arange(n_out, dtype=np.float32) * scale)
+        return np.minimum(i.astype(np.int64), n_in - 1)
+
+    out = x[:, jnp.asarray(src_idx(h, oh))][:, :, jnp.asarray(src_idx(w, ow))]
     return out[0] if squeeze else out
 
 
@@ -167,15 +177,21 @@ def upsample_nearest_2x(x: jax.Array) -> jax.Array:
     return x.reshape(n, h * 2, w * 2, c)
 
 
+def smaller_edge_size(h: int, w: int, size: int) -> tuple[int, int]:
+    """torchvision ``transforms.Resize(int)`` output size: the long edge is
+    ``int(size * long / short)`` — TRUNCATED, not rounded
+    (torchvision ``_compute_resized_output_size``; verified against the
+    reference's pinned torchvision 0.13.1)."""
+    if h <= w:
+        return size, max(1, int(size * w / h))
+    return max(1, int(size * h / w)), size
+
+
 def resize_smaller_edge(x: jax.Array, size: int) -> jax.Array:
     """PIL/torchvision ``transforms.Resize(size)``: scale so the smaller edge
     equals ``size``, preserving aspect ratio, antialiased bilinear."""
     x, squeeze = _ensure_nhwc(x)
-    h, w = x.shape[1], x.shape[2]
-    if h <= w:
-        oh, ow = size, max(1, int(round(size * w / h)))
-    else:
-        oh, ow = max(1, int(round(size * h / w))), size
+    oh, ow = smaller_edge_size(x.shape[1], x.shape[2], size)
     out = resize_bilinear(x, (oh, ow), antialias=True)
     return out[0] if squeeze else out
 

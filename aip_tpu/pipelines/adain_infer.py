@@ -190,14 +190,24 @@ def stylize_interpolated(
 # Host-side IO wrapper (PIL in, JPEG out) — reference CLI surface
 # ---------------------------------------------------------------------------
 
-def _to_array(img) -> np.ndarray:
-    """PIL image or ndarray -> float32 HWC in [0,1], alpha dropped."""
+def _to_pil(img):
+    """PIL image (or path / uint8 array) -> PIL; float arrays -> None."""
     from PIL import Image
 
     if isinstance(img, (str, Path)):
-        img = Image.open(str(img))
-    if not isinstance(img, np.ndarray):
-        img = np.asarray(img)
+        return Image.open(str(img))
+    if isinstance(img, Image.Image):
+        return img
+    if isinstance(img, np.ndarray) and img.dtype == np.uint8:
+        return Image.fromarray(img)
+    return None
+
+
+def _to_array(img) -> np.ndarray:
+    """PIL image or ndarray -> float32 HWC in [0,1], alpha dropped."""
+    pil = _to_pil(img)
+    if pil is not None:
+        img = np.asarray(pil)
     if img.dtype == np.uint8:
         img = img.astype(np.float32) / 255.0
     if img.ndim == 2:
@@ -207,9 +217,29 @@ def _to_array(img) -> np.ndarray:
     return np.ascontiguousarray(img, dtype=np.float32)
 
 
-def _test_transform(img: np.ndarray, size: int, crop: bool) -> jax.Array:
-    """Parity with reference `test.py:16-24` test_transform."""
-    x = jnp.asarray(img)
+def _test_transform(img, size: int, crop: bool) -> jax.Array:
+    """Parity with reference `test.py:16-24` test_transform.
+
+    For PIL / uint8 inputs (the CLI surface) the resize runs through PIL
+    itself: torchvision's ``transforms.Resize`` on a PIL image delegates to
+    ``PIL.Image.resize(..., BILINEAR)`` (uint8 fixed-point arithmetic), so
+    this path is bit-exact with the reference's test_transform. Float arrays
+    (device pipelines) use the antialiased-bilinear array op instead.
+    """
+    from PIL import Image
+    from aip_tpu.ops.image import smaller_edge_size
+
+    pil = _to_pil(img)
+    if pil is not None:
+        if size != 0:
+            oh, ow = smaller_edge_size(pil.size[1], pil.size[0], size)
+            pil = pil.resize((ow, oh), Image.BILINEAR)
+        if crop:
+            w, h = pil.size
+            left, top = max(0, (w - size) // 2), max(0, (h - size) // 2)
+            pil = pil.crop((left, top, left + size, top + size))
+        return jnp.asarray(_to_array(pil))
+    x = jnp.asarray(_to_array(img) if isinstance(img, np.ndarray) else img)
     if size != 0:
         x = resize_smaller_edge(x, size)
     if crop:
@@ -231,12 +261,17 @@ def save_image(arr, path) -> None:
 
 
 def get_style_embeddings(style_img, style_size: int = 512, crop: bool = False,
-                         vgg_params=None) -> jax.Array:
-    """relu4_1 features of a style image, [1, h, w, 512] (test.py:27-49)."""
+                         vgg_params=None,
+                         compute_dtype=jnp.float32) -> jax.Array:
+    """relu4_1 features of a style image, [1, h, w, 512] (test.py:27-49).
+
+    fp32 by default: this runs once per scene/style (3DGS pre-pass), so
+    reference-parity numerics beat throughput here.
+    """
     if vgg_params is None:
         vgg_params = weights_mod.get_vgg_params()
-    style = _test_transform(_to_array(style_img), style_size, crop)[None]
-    return style_embedding(vgg_params, style)
+    style = _test_transform(style_img, style_size, crop)[None]
+    return style_embedding(vgg_params, style, compute_dtype=compute_dtype)
 
 
 def adain_inference(
@@ -257,21 +292,26 @@ def adain_inference(
     content_mask=None,
     use_depth: bool = False,
     depth_fn=None,
+    compute_dtype=jnp.float32,
 ) -> Path:
     """Full 2D stylization entry point (parity: reference `test.py:153-247`).
 
     ``depth_fn(img_hwc_float) -> [H, W] proximity map`` lets callers inject a
     depth estimator; defaults to aip_tpu.models.depthnet.estimate_proximity.
     Returns the saved output path.
+
+    ``compute_dtype`` defaults to float32: this is the reference-parity CLI
+    surface (the torch reference computes in fp32; BASELINE.md budgets 1e-3
+    mean abs pixel error). Pass ``jnp.bfloat16`` for throughput when serving —
+    the batched paths (stylize_batch_with_stats) default to bf16 already.
     """
     vgg_params = weights_mod.get_vgg_params(vgg_str)
     dec_params = weights_mod.get_decoder_params(decoder_str)
 
     content_np = _to_array(content_img)
-    style_np = _to_array(style_img)
 
-    content = _test_transform(content_np, content_size, crop)
-    style = _test_transform(style_np, style_size, crop)
+    content = _test_transform(content_img, content_size, crop)
+    style = _test_transform(style_img, style_size, crop)
     if preserve_color:
         style = coral(style, content)
     content_b = content[None]
@@ -286,9 +326,11 @@ def adain_inference(
         out = stylize_depth(
             vgg_params, dec_params, content_b, style_b, depth_map,
             offset=float(depth_offset), prominence=float(depth_prominence),
+            compute_dtype=compute_dtype,
         )
     else:
-        out = stylize_simple(vgg_params, dec_params, content_b, style_b, alpha=float(alpha))
+        out = stylize_simple(vgg_params, dec_params, content_b, style_b,
+                             alpha=float(alpha), compute_dtype=compute_dtype)
 
     if content_mask is not None:
         # Reference test.py:222-236 — nearest-resized binary mask composite.

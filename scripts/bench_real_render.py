@@ -80,11 +80,10 @@ def main():
         style_f = jnp.mean(feat, axis=(1, 2))
     enc = precompute_features(field, state.xyz)
 
-    settings = RasterSettings(image_height=args.height, image_width=args.width,
-                              macro=4, macro_capacity=kc,
-                              composite_backend="mxu",
-                              dup_span=sel["dup_span"],
-                              giant_capacity=sel["giant_capacity"])
+    from aip_tpu.gs.render import settings_from_selection
+
+    settings = settings_from_selection(
+        sel, args.height, args.width, macro=4, composite_backend="mxu")
 
     def sync(x):
         np.asarray(jax.lax.slice(x.reshape(-1), (0,), (1,)))

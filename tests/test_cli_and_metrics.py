@@ -103,6 +103,56 @@ def test_metrics_evaluate(tmp_path, rng):
     assert (tmp_path / "model" / "per_view.json").exists()
 
 
+def test_metrics_evaluate_records_lpips_weight_provenance(tmp_path, rng,
+                                                          monkeypatch, capsys):
+    """With no lin-weight checkpoint, results.json must say loudly that LPIPS
+    used the uniform fallback (VERDICT r3 weak #7) — those numbers are not
+    comparable to published LPIPS."""
+    import json
+
+    from aip_tpu.gs.metrics_cli import evaluate
+    from aip_tpu.models import weights as weights_mod
+
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+    d = tmp_path / "model" / "test" / "ours_100"
+    (d / "renders").mkdir(parents=True)
+    (d / "gt").mkdir()
+    img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+    Image.fromarray(img).save(d / "gt" / "0.png")
+    Image.fromarray(img).save(d / "renders" / "0.png")
+    out = evaluate([str(tmp_path / "model")], use_lpips=True)
+    res = out[str(tmp_path / "model")]["ours_100"]
+    assert res["lpips_weights"] == "uniform-fallback"
+    saved = json.loads((tmp_path / "model" / "results.json").read_text())
+    assert saved["ours_100"]["lpips_weights"] == "uniform-fallback"
+    assert "uniform" in capsys.readouterr().err.lower()
+
+
+def test_lpips_lin_weights_convert_from_torch_checkpoint(tmp_path, rng,
+                                                         monkeypatch):
+    """get_lin_weights converts a richzhang-format lin checkpoint
+    (lin{i}.model.1.weight, [1,C,1,1]) and caches it."""
+    torch = pytest.importorskip("torch")
+
+    from aip_tpu.models import weights as weights_mod
+    from aip_tpu.models.lpips import LPIPS_CHANNELS, get_lin_weights
+
+    monkeypatch.setattr(weights_mod, "DEFAULT_WEIGHTS_DIR", tmp_path / "w")
+    sd = {f"lin{i}.model.1.weight":
+          torch.rand(1, c, 1, 1) for i, c in enumerate(LPIPS_CHANNELS)}
+    pth = tmp_path / "vgg_lin.pth"
+    torch.save(sd, pth)
+    assert pth.stat().st_size > 4096  # above the LFS-stub size floor
+    lins = get_lin_weights("vgg", torch_path=pth)
+    assert lins is not None and len(lins) == len(LPIPS_CHANNELS)
+    for w, c, (i, _) in zip(lins, LPIPS_CHANNELS, enumerate(LPIPS_CHANNELS)):
+        np.testing.assert_allclose(
+            np.asarray(w), sd[f"lin{i}.model.1.weight"].numpy().reshape(-1))
+    # Cached on second call (no torch_path needed).
+    lins2 = get_lin_weights("vgg")
+    np.testing.assert_allclose(np.asarray(lins2[0]), np.asarray(lins[0]))
+
+
 def test_deeplab_segmenter_registration(tmp_path, rng):
     """DeepLab architecture plugs into the segmentation hook."""
     import jax as _jax

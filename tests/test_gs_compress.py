@@ -152,9 +152,12 @@ def test_fit_train_selection_records_shape(tmp_path, rng, monkeypatch):
 
     cfg_args = json.loads((Path(model) / "cfg_args.json").read_text())
     sel = cfg_args["selection"]
-    assert set(sel) == {"macro_capacity", "dup_span", "giant_capacity"}
+    assert set(sel) >= {"macro_capacity", "dup_span", "giant_capacity",
+                        "giant_backend", "giant_pool", "giant_pool_full"}
     assert 2 <= sel["dup_span"] <= 6
     assert sel["giant_capacity"] >= 128
+    assert sel["giant_backend"] == "direct"
+    assert sel["giant_pool"] >= 128 and sel["giant_pool_full"] >= 64
 
     gif = run_3dgs_rendering(str(tmp_path / "style.png"), model,
                              max_per_tile=16)

@@ -436,6 +436,33 @@ def test_multichip_gs_step_matches_single_device(tmp_path, rng):
                                rtol=1e-4, atol=1e-6)
 
 
+def _photometric_grads(cfg, tr, arrays, bg):
+    """Gradients of the photometric loss w.r.t. the Gaussian params —
+    independent re-statement of make_train_step's loss for the equivalence
+    check (evaluated op-by-op, outside the fused step program)."""
+    import aip_tpu.gs.train as T
+    from aip_tpu.gs.train import make_settings_from_dims, render_from_arrays
+    from aip_tpu.ops.metrics import l1_loss, ssim
+
+    settings = make_settings_from_dims(arrays.height, arrays.width, cfg)
+
+    def f(gp):
+        gs = T._with_gparams(tr.gstate, gp)
+        out = render_from_arrays(arrays, gs, tr.field, bg, None, "train",
+                                 None, None, settings,
+                                 jnp.zeros((gs.capacity, 2)))
+        ll1 = l1_loss(out.render, arrays.image)
+        act = gs.active[:, None]
+        mask_reg = (jnp.sum(jax.nn.sigmoid(gs.mask) * act)
+                    / jnp.maximum(jnp.sum(act), 1))
+        return ((1.0 - cfg.lambda_dssim) * ll1
+                + cfg.lambda_dssim * (1.0 - ssim(out.render[None],
+                                                 arrays.image[None]))
+                + cfg.lambda_mask * mask_reg)
+
+    return jax.grad(f)(T._gparams(tr.gstate))
+
+
 def test_recompact_step_equivalence(tmp_path, rng, monkeypatch):
     """A train step on the capacity-shrunk state produces the same loss and
     the same updated live parameters as on the original buffers — dead
@@ -477,18 +504,35 @@ def test_recompact_step_equivalence(tmp_path, rng, monkeypatch):
     # Live slots land in the first n rows.
     assert bool(jnp.all(small.gstate.active[:n]))
 
+    # The exact guarantee: the LOSS GRADIENTS of the live slots are equal
+    # between the full and shrunk buffers (measured bitwise-identical when
+    # evaluated op-by-op; tiny atol absorbs jit-fusion reassociation).
+    ord_np = np.asarray(order)[:bucket]
+    g_big = _photometric_grads(cfg, trainer, arrays, bg)
+    g_small = _photometric_grads(cfg, small, arrays, bg)
+    for name in ("xyz", "scaling", "rotation", "opacity", "mask"):
+        a = np.asarray(g_big[name])[ord_np][:n]
+        b = np.asarray(g_small[name])[:n]
+        np.testing.assert_allclose(b, a, atol=1e-9, err_msg=f"grad {name}")
+
     big2, m_big = step(trainer, arrays, None, bg)
     small2, m_small = step(small, arrays, None, bg)
     np.testing.assert_allclose(float(m_small["loss"]), float(m_big["loss"]),
                                rtol=1e-6)
     # Updated live params match slot-for-slot under the packing order.
-    ord_np = np.asarray(order)[:bucket]
+    # Tolerances (root-caused, r3 weak #1): gradients are equal (above), but
+    # XLA fuses the capacity-256 and capacity-32 step programs differently,
+    # so reductions reassociate at the ulp level. For params with O(1e-3)
+    # gradients Adam keeps that at <2e-5 after one step. Fresh identity
+    # quaternions have NOISE-FLOOR gradients (~1e-8, many exactly 0), where
+    # Adam's mu/(sqrt(nu)+eps) amplifies ulp differences to O(lr)=1e-3-scale
+    # updates — inherent to Adam in the zero-gradient regime, not a
+    # recompaction defect; rotation gets an explicit 1e-4 budget (0.1*lr).
     for name in ("xyz", "scaling", "rotation", "opacity", "mask"):
         a = np.asarray(getattr(big2.gstate, name))[ord_np][:n]
         b = np.asarray(getattr(small2.gstate, name))[:n]
-        # atol 2e-5: 1-ulp gradient differences (reduction order shifts
-        # with buffer size) get amplified by Adam's 1/sqrt(nu) rescale.
-        np.testing.assert_allclose(b, a, atol=2e-5, err_msg=name)
+        atol = 1e-4 if name == "rotation" else 2e-5
+        np.testing.assert_allclose(b, a, atol=atol, err_msg=name)
 
 
 def test_recompact_in_training_loop(tmp_path, rng, monkeypatch, style_img):
