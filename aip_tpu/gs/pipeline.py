@@ -83,14 +83,27 @@ def run_3dgs_training(
         st0, _dc = create_from_pcd(_jnp.asarray(pcd.points),
                                    _jnp.asarray(pcd.colors), capacity)
         sel0 = fit_selection(st0, scene.getTrainCameras(), margin=1.5)
+        print(f"fit_train_selection: {sel0}", flush=True)
         cfg = dataclasses.replace(
             cfg, dup_span=sel0["dup_span"],
             giant_capacity=sel0["giant_capacity"],
             giant_backend=sel0.get("giant_backend", "merge"),
             giant_span=sel0.get("giant_span", cfg.giant_span),
-            giant_pool=sel0.get("giant_pool", cfg.giant_pool),
-            giant_pool_full=sel0.get("giant_pool_full", cfg.giant_pool_full),
-            macro_capacity=max(macro_capacity, sel0["macro_capacity"]))
+            # Pools only ever GROW from the config defaults: the fit sees
+            # the INITIAL cloud (few giants), but training grows thousands
+            # of them (bed_0037: 13.8k) — a fitted-small pool would drop
+            # the rearmost late in training. Pool slack is cheap (static
+            # pair slots, ~1M extra sort entries at the 16384 default).
+            giant_pool=max(sel0.get("giant_pool", 0), cfg.giant_pool),
+            giant_pool_full=max(sel0.get("giant_pool_full", 0),
+                                cfg.giant_pool_full))
+        # NOTE max_per_tile and macro_capacity stay the caller's: the fit
+        # measures the INITIAL cloud, whose fog-like 100k random points
+        # give per-tile/per-block demand far above what the pruned scene
+        # ever needs — a fog-fitted kc=4096 OOMs the 800^2 B=8 step
+        # (measured: 21.9G vs 15.75G HBM). The fit's job here is GIANT
+        # exactness (backend/span/pools); capacities follow the recorded
+        # consistency contract like every other run.
     trainer, style_f = train(
         scene, style_img_path, cfg,
         use_depth=use_depth, depth_offset=depth_offset,
@@ -126,6 +139,7 @@ def run_3dgs_training(
         # "Real-scene exactness": exact re-render of a truncation-trained
         # scene DROPS PSNR 16.3 -> 13.9).
         "selection": {
+            "max_per_tile": cfg.max_per_tile,
             "macro_capacity": cfg.macro_capacity,
             "dup_span": cfg.dup_span,
             "giant_capacity": cfg.giant_capacity,
@@ -199,7 +213,7 @@ def run_3dgs_rendering(
     for i, cam in enumerate(cams_all):
         settings = settings_from_selection(
             sel, cam.image_height, cam.image_width,
-            max_per_tile=max_per_tile)
+            max_per_tile=sel.get("max_per_tile", max_per_tile))
         out = render(cam, state, field, bg, style_f=style_f, mode="inference",
                      settings=settings, renderer=renderer, mesh=mesh)
         img = np.clip(np.asarray(out.render), 0, 1)

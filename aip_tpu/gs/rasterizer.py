@@ -309,10 +309,19 @@ def composite_tiles(sel_idx, sel_depth, mean2d, conics, colors, opacities,
 
     slot_valid = sel_idx >= 0
     safe_idx = jnp.maximum(sel_idx, 0)
-    g_mean = mean2d[safe_idx]  # [tiles, K, 2]
-    g_conic = conics[safe_idx]  # [tiles, K, 3]
-    g_color = colors[safe_idx]  # [tiles, K, 3]
-    g_op = opacities[safe_idx]  # [tiles, K]
+    # ONE packed gather (padded to 16 lanes) instead of four: the backward
+    # of each gather is a duplicate-index scatter-add over [tiles*K] rows,
+    # which XLA serializes per update — four separate scatters measured
+    # ~4x the cost of one 16-wide row scatter at 800^2/131k.
+    n = mean2d.shape[0]
+    table = jnp.concatenate(
+        [mean2d, conics, colors, opacities[:, None],
+         jnp.zeros((n, 7), mean2d.dtype)], axis=1)       # [N, 16]
+    raw = table[safe_idx]                                 # [tiles, K, 16]
+    g_mean = raw[..., 0:2]
+    g_conic = raw[..., 2:5]
+    g_color = raw[..., 5:8]
+    g_op = raw[..., 8]
 
     # Pixel centers per tile: [tiles, P, 2], P = TILE*TILE.
     px = jnp.arange(TILE, dtype=jnp.float32)

@@ -94,12 +94,13 @@ def fit_selection(state: G.GaussianState, cams, macro: int = 4,
     cams = list(cams)
     if not cams:
         return {"macro_capacity": lo, "dup_span": 2, "giant_capacity": 128,
-                "giant_backend": "merge"}
+                "giant_backend": "merge", "max_per_tile": 128}
     step = max(1, len(cams) // sample)
     scales = jnp.exp(state.scaling)
     opac = jax.nn.sigmoid(state.opacity)[:, 0]
     bs = macro * TILE
     worst = 0
+    worst_tile = 0
     n_alive_max = 0
     n_blocks_max = 1
     # worst per-supertile giant count for each candidate dup_span
@@ -148,6 +149,18 @@ def fit_selection(state: G.GaussianState, cams, macro: int = 4,
 
         worst = max(worst, int(rect_hist((th, tw), y0, x0, y1, x1).max()))
 
+        # Per-16px-TILE demand: sizes max_per_tile (the training composite's
+        # dense [tiles, K, 256] K) to the scene instead of a blind 128 —
+        # exact when demand is lower AND when it is higher.
+        th16 = -(-s.image_height // TILE)
+        tw16 = -(-s.image_width // TILE)
+        tx0 = np.clip(np.floor((mx - r) / TILE).astype(int), 0, tw16 - 1)
+        tx1 = np.clip(np.floor((mx + r) / TILE).astype(int), 0, tw16 - 1)
+        ty0 = np.clip(np.floor((my - r) / TILE).astype(int), 0, th16 - 1)
+        ty1 = np.clip(np.floor((my + r) / TILE).astype(int), 0, th16 - 1)
+        worst_tile = max(worst_tile,
+                         int(rect_hist((th16, tw16), ty0, tx0, ty1, tx1).max()))
+
         # Per-supertile giant counts (mirror the super grid the pairsort
         # selection builds: sb = ceil(max(mth, mtw) / 4)).
         sb = max(1, -(-max(th, tw) // 4))
@@ -184,11 +197,13 @@ def fit_selection(state: G.GaussianState, cams, macro: int = 4,
                 + bucket(worst_far[d], 64) * n_blocks_max)
 
     dup = min(spans, key=direct_cost)
+    k_tile = max(32, min(512, -(-int(worst_tile * margin) // 32) * 32))
     return {"macro_capacity": kc, "dup_span": dup,
             "giant_capacity": giant_cap(dup),
             "giant_backend": "direct", "giant_span": giant_span,
             "giant_pool": bucket(worst_near[dup], 128),
-            "giant_pool_full": bucket(worst_far[dup], 64)}
+            "giant_pool_full": bucket(worst_far[dup], 64),
+            "max_per_tile": k_tile}
 
 
 def fit_macro_capacity(state: G.GaussianState, cams, macro: int = 4,
