@@ -22,6 +22,10 @@ def main(argv=None):
     parser.add_argument("--gaussian_shard", action="store_true",
                         help="Also shard the colorfield over the Gaussian "
                              "axis (needs --mesh_dp).")
+    parser.add_argument("-r", "--resolution", type=int, default=-1,
+                        help="Camera downscale (reference -r rule: -1 "
+                             "native with >1.6K auto-rescale; 2/4/8 "
+                             "divide).")
     parser.add_argument("--fit_train_selection", action="store_true",
                         help="Fit the pair-sort selection shape (dup_span/"
                              "giant_capacity/macro_capacity) to the initial "
@@ -39,6 +43,7 @@ def main(argv=None):
         views_per_step=args.views_per_step, mesh_dp=args.mesh_dp,
         gaussian_shard=args.gaussian_shard,
         fit_train_selection=args.fit_train_selection,
+        resolution=args.resolution,
     )
     gif = run_3dgs_rendering(args.style, model_path, mesh_dp=args.mesh_dp)
     print(f"Render GIF: {gif}")

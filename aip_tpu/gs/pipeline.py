@@ -49,6 +49,7 @@ def run_3dgs_training(
     mesh_dp: int = 0,
     gaussian_shard: bool = False,
     fit_train_selection: bool = False,
+    resolution: int = -1,
 ) -> str:
     """Train a stylized 3DGS scene; saves a compressed model. Returns
     model_path.
@@ -65,7 +66,11 @@ def run_3dgs_training(
         log2_hashmap=log2_hashmap,
         max_per_tile=max_per_tile, macro_capacity=macro_capacity,
     )
-    scene = Scene(str(content_path), white_background=white_background)
+    # ``resolution`` follows the reference's ``-r`` camera downscale rule
+    # (arguments/__init__.py resolution; camera_utils.py:19-52): -1 keeps
+    # native size (with the >1.6K auto-rescale), 2/4/8 divide.
+    scene = Scene(str(content_path), white_background=white_background,
+                  resolution=resolution)
     if fit_train_selection:
         # Exact-training mode: fit dup_span / giant_capacity /
         # macro_capacity to the initial scene's measured demand (with
@@ -129,6 +134,7 @@ def run_3dgs_training(
     (out / "cfg_args.json").write_text(json.dumps({
         "source_path": str(content_path),
         "white_background": white_background,
+        "resolution": resolution,
         "iterations": iterations,
         "freeze_iters": freeze_iters,
         "log2_hashmap": log2_hashmap,
@@ -178,6 +184,7 @@ def run_3dgs_rendering(
 
     scene = Scene(cfg_args["source_path"],
                   white_background=cfg_args.get("white_background", False),
+                  resolution=cfg_args.get("resolution", -1),
                   shuffle=False)
     # Size the macro candidate lists to this scene's measured per-block
     # demand — a fixed 1024 truncates dense trained scenes into

@@ -19,6 +19,7 @@ def _load(model_path):
     cfg = json.loads((model_path / "cfg_args.json").read_text())
     state, field, rvq_s, rvq_r = compress_mod.load_npz(model_path / "model.npz")
     scene = Scene(cfg["source_path"], white_background=cfg.get("white_background", False),
+                  resolution=cfg.get("resolution", -1),
                   shuffle=False)
     bg = jnp.asarray([1.0, 1.0, 1.0] if cfg.get("white_background") else [0.0, 0.0, 0.0])
     return state, field, scene, bg, cfg.get("selection")

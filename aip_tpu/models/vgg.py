@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from aip_tpu.ops.image import reflection_pad_2d, max_pool_2x2_ceil
+from aip_tpu.ops.image import max_pool_2x2_ceil, reflect_conv3x3
 
 # Layer program: mirrors the torch Sequential structure so pretrained
 # state_dicts (keys '0.weight', '2.weight', ...) can be mapped 1:1.
@@ -140,13 +140,24 @@ def vgg_encode_with_intermediate(
     remaining = set(taps)
     out = {}
     ci = 0
+    pending_pad = False
     for layer in VGG_LAYERS:
         kind = layer[0]
         if kind == "conv":
-            x = _conv(x, params[ci], compute_dtype)
+            if pending_pad:
+                # Fused pad+conv: zero-pad SAME conv + exact 1-px border
+                # fixup — skips the full-size padded-activation HBM pass
+                # (ops.image.reflect_conv3x3).
+                p = params[ci]
+                x = reflect_conv3x3(x.astype(compute_dtype),
+                                    p["w"].astype(compute_dtype),
+                                    p["b"].astype(compute_dtype))
+                pending_pad = False
+            else:
+                x = _conv(x, params[ci], compute_dtype)
             ci += 1
         elif kind == "pad":
-            x = reflection_pad_2d(x, 1)
+            pending_pad = True
         elif kind == "pool":
             x = max_pool_2x2_ceil(x)
         elif kind == "relu":

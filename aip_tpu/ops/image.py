@@ -215,6 +215,54 @@ def reflection_pad_2d(x: jax.Array, pad: int = 1) -> jax.Array:
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
 
 
+def reflect_conv3x3(x: jax.Array, w: jax.Array, b: jax.Array | None = None
+                    ) -> jax.Array:
+    """3x3 stride-1 conv over a reflection-padded NHWC input WITHOUT
+    materializing the padded activation.
+
+    ``reflection_pad_2d`` + VALID conv (the reference's ReflectionPad2d ->
+    Conv2d pairs, `Style_3DGS/AdaIN/net.py:6-92`) forces XLA to write and
+    re-read a full-size padded copy of the activation — an extra ~2 HBM
+    passes of the layer's biggest tensor (2.7 ms per 512^2x64ch stage at
+    batch 32 on v5e). Zero padding, by contrast, folds into the conv
+    instruction for free, and only the 1-px output border differs from the
+    reflect semantics. So: run the conv zero-padded SAME (interior exact),
+    then recompute the four border rows/cols from O(perimeter) strips whose
+    reflection pads are strip-sized, and patch them in with in-place
+    dynamic_update_slices. Exact (same dot products) for every output pixel;
+    differentiable through standard XLA ops.
+    """
+    n, h, wd, c = x.shape
+    dn = ("NHWC", "HWIO", "NHWC")
+
+    def conv(v, padding):
+        return jax.lax.conv_general_dilated(
+            v, w, (1, 1), padding, dimension_numbers=dn,
+            preferred_element_type=v.dtype)
+
+    y = conv(x, ((1, 1), (1, 1)))  # zero-pad SAME: interior rows/cols exact
+
+    # Border strips: output row 0 reads input rows (-1, 0, 1) = (1, 0, 1)
+    # under reflection; the strip's own columns reflect-pad to exactly the
+    # padded tensor's columns (they ARE full rows/cols of x).
+    top = jnp.pad(x[:, (1, 0, 1), :, :],
+                  ((0, 0), (0, 0), (1, 1), (0, 0)), mode="reflect")
+    bot = jnp.pad(x[:, (h - 2, h - 1, h - 2), :, :],
+                  ((0, 0), (0, 0), (1, 1), (0, 0)), mode="reflect")
+    lef = jnp.pad(x[:, :, (1, 0, 1), :],
+                  ((0, 0), (1, 1), (0, 0), (0, 0)), mode="reflect")
+    rig = jnp.pad(x[:, :, (wd - 2, wd - 1, wd - 2), :],
+                  ((0, 0), (1, 1), (0, 0), (0, 0)), mode="reflect")
+    zero = ((0, 0), (0, 0))
+    y = jax.lax.dynamic_update_slice(y, conv(top, zero), (0, 0, 0, 0))
+    y = jax.lax.dynamic_update_slice(y, conv(bot, zero), (0, h - 1, 0, 0))
+    y = jax.lax.dynamic_update_slice(y, conv(lef, zero), (0, 0, 0, 0))
+    y = jax.lax.dynamic_update_slice(y, conv(rig, zero), (0, 0, wd - 1, 0))
+    if b is not None:
+        y = y + b
+    return y
+
+
 def max_pool_2x2_ceil(x: jax.Array) -> jax.Array:
     """MaxPool2d(kernel=2, stride=2, ceil_mode=True) parity on NHWC."""
     n, h, w, c = x.shape

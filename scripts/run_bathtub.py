@@ -32,6 +32,8 @@ def main():
     p.add_argument("--fit_train_selection", action="store_true",
                    help="train with the selection shape fitted to the "
                         "scene (no giant truncation; BENCHMARKS.md)")
+    p.add_argument("-r", "--resolution", type=int, default=-1,
+                   help="camera downscale (reference -r rule)")
     args = p.parse_args()
 
     from aip_tpu.gs.pipeline import run_3dgs_training, run_3dgs_rendering
@@ -51,6 +53,7 @@ def main():
         macro_capacity=args.macro_capacity,
         views_per_step=args.views_per_step,
         fit_train_selection=args.fit_train_selection,
+        resolution=args.resolution,
     )
     t_train = time.time() - t0
     print(f"TRAIN done in {t_train/60:.1f} min -> {model}", flush=True)
@@ -67,7 +70,7 @@ def main():
     gt_dir.mkdir(parents=True, exist_ok=True)
     from aip_tpu.gs.dataset import Scene
 
-    scene = Scene(args.scene, shuffle=False)
+    scene = Scene(args.scene, shuffle=False, resolution=args.resolution)
     from PIL import Image
     import numpy as np
 

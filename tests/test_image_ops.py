@@ -62,6 +62,44 @@ def test_reflection_pad_matches_torch(rng):
     np.testing.assert_array_equal(ours, ref)
 
 
+def test_reflect_conv3x3_matches_pad_conv(rng):
+    """Fused zero-pad-SAME + border-fixup conv == explicit reflection pad +
+    VALID conv (values AND gradients) — the serving graph's HBM lever."""
+    import jax
+    from aip_tpu.ops.image import reflect_conv3x3
+
+    for h, w in [(8, 10), (5, 5), (2, 3), (16, 7)]:
+        x = jnp.asarray(rng.random((2, h, w, 5)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((3, 3, 5, 4)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal(4).astype(np.float32))
+
+        def ref_fn(x_, k_, b_):
+            import jax.lax as lax
+            xp = reflection_pad_2d(x_, 1)
+            return lax.conv_general_dilated(
+                xp, k_, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + b_
+
+        ours = np.asarray(reflect_conv3x3(x, k, b))
+        ref = np.asarray(ref_fn(x, k, b))
+        np.testing.assert_allclose(ours, ref, atol=1e-5, err_msg=f"hw={h}x{w}")
+
+        # Gradients: the fused path is used inside training losses too.
+        g = jnp.asarray(rng.random(ref.shape).astype(np.float32))
+        gx_o, gk_o, gb_o = jax.grad(
+            lambda *a: jnp.vdot(reflect_conv3x3(*a), g), argnums=(0, 1, 2)
+        )(x, k, b)
+        gx_r, gk_r, gb_r = jax.grad(
+            lambda *a: jnp.vdot(ref_fn(*a), g), argnums=(0, 1, 2)
+        )(x, k, b)
+        np.testing.assert_allclose(np.asarray(gx_o), np.asarray(gx_r),
+                                   atol=1e-4, err_msg=f"gx hw={h}x{w}")
+        np.testing.assert_allclose(np.asarray(gk_o), np.asarray(gk_r),
+                                   atol=1e-4, err_msg=f"gk hw={h}x{w}")
+        np.testing.assert_allclose(np.asarray(gb_o), np.asarray(gb_r),
+                                   atol=1e-4, err_msg=f"gb hw={h}x{w}")
+
+
 def test_maxpool_ceil_matches_torch(rng):
     for h, w in [(8, 8), (7, 9), (5, 5)]:
         x = rng.random((1, h, w, 2)).astype(np.float32)
