@@ -24,9 +24,10 @@ predictor offers two trunks ahead of the shared 100-d bottleneck + CIN heads:
   and CIN heads stay framework-side (TF-Hub checkpoints are TF-format and
   not loadable in this environment).
 
-Per-frame cost at 256px is ~4 GFLOPs vs ~100 GFLOPs for the VGG AdaIN
-round-trip — the "genuinely cheaper stylizer" the reference's fast path
-provides.
+Per-frame transform cost at 256px is 20.2 GFLOPs vs 63.8 GFLOPs for the
+VGG AdaIN encode+decode round-trip (XLA cost analysis; style bottleneck /
+style stats cached in both cases) — the "genuinely cheaper stylizer" the
+reference's fast path provides, at 0.32x the teacher's FLOPs.
 """
 
 from __future__ import annotations
