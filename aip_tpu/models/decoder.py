@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from aip_tpu.ops.image import reflect_conv3x3, upsample_nearest_2x
+from aip_tpu.ops.image import reflection_pad_2d, upsample_nearest_2x
 
 # ('conv', in, out, torch_index) | ('relu',) | ('up',) | ('pad',)
 DECODER_LAYERS = (
@@ -70,16 +70,21 @@ def decoder_apply(params, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
     for layer in DECODER_LAYERS:
         kind = layer[0]
         if kind == "conv":
-            # Every decoder conv is a pad+conv pair; the fused path skips
-            # the full-size padded-activation HBM pass
-            # (ops.image.reflect_conv3x3).
+            # Explicit reflection pad + VALID conv — measured fastest on
+            # v5e (see models/vgg.py and the BENCHMARKS.md roofline note;
+            # the fused reflect_conv3x3 variants lose to XLA's
+            # materialized pad here).
             p = params[ci]
-            x = reflect_conv3x3(x.astype(compute_dtype),
-                                p["w"].astype(compute_dtype),
-                                p["b"].astype(compute_dtype))
+            w = p["w"].astype(compute_dtype)
+            b = p["b"].astype(compute_dtype)
+            x = reflection_pad_2d(x.astype(compute_dtype), 1)
+            x = jax.lax.conv_general_dilated(
+                x, w, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=compute_dtype) + b
             ci += 1
         elif kind == "pad":
-            pass  # folded into the next conv
+            pass  # handled with its conv
         elif kind == "up":
             x = upsample_nearest_2x(x)
         elif kind == "relu":

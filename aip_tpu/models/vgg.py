@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from aip_tpu.ops.image import max_pool_2x2_ceil, reflect_conv3x3
+from aip_tpu.ops.image import (max_pool_2x2_ceil, reflection_pad_2d)
 
 # Layer program: mirrors the torch Sequential structure so pretrained
 # state_dicts (keys '0.weight', '2.weight', ...) can be mapped 1:1.
@@ -145,13 +145,14 @@ def vgg_encode_with_intermediate(
         kind = layer[0]
         if kind == "conv":
             if pending_pad:
-                # Fused pad+conv: zero-pad SAME conv + exact 1-px border
-                # fixup — skips the full-size padded-activation HBM pass
-                # (ops.image.reflect_conv3x3).
-                p = params[ci]
-                x = reflect_conv3x3(x.astype(compute_dtype),
-                                    p["w"].astype(compute_dtype),
-                                    p["b"].astype(compute_dtype))
+                # Explicit reflection pad + VALID conv. Measured fastest on
+                # v5e at batch 32/512^2: 105 ms full graph vs 115 ms for the
+                # fused zero-pad+strip-correction op (ops.image.
+                # reflect_conv3x3 — its 4 extra strip convs per layer cost
+                # more than the materialized pad they avoid) and 190 ms for
+                # a dynamic_update_slice border patch variant.
+                x = reflection_pad_2d(x.astype(compute_dtype), 1)
+                x = _conv(x, params[ci], compute_dtype)
                 pending_pad = False
             else:
                 x = _conv(x, params[ci], compute_dtype)

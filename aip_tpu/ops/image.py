@@ -222,42 +222,60 @@ def reflect_conv3x3(x: jax.Array, w: jax.Array, b: jax.Array | None = None
 
     ``reflection_pad_2d`` + VALID conv (the reference's ReflectionPad2d ->
     Conv2d pairs, `Style_3DGS/AdaIN/net.py:6-92`) forces XLA to write and
-    re-read a full-size padded copy of the activation — an extra ~2 HBM
-    passes of the layer's biggest tensor (2.7 ms per 512^2x64ch stage at
-    batch 32 on v5e). Zero padding, by contrast, folds into the conv
-    instruction for free, and only the 1-px output border differs from the
-    reflect semantics. So: run the conv zero-padded SAME (interior exact),
-    then recompute the four border rows/cols from O(perimeter) strips whose
-    reflection pads are strip-sized, and patch them in with in-place
-    dynamic_update_slices. Exact (same dot products) for every output pixel;
-    differentiable through standard XLA ops.
+    re-read a full-size padded copy of the activation. Zero padding, by
+    contrast, folds into the conv instruction for free, and only the 1-px
+    output border differs from the reflect semantics. So: run the conv
+    zero-padded SAME (interior exact),
+    then ADD the taps the zero pad dropped — each missing tap reads a value
+    that lives one row/col inside the image, so the four corrections are
+    O(perimeter) strip convolutions, zero-padded back to full size and
+    summed. pad+add is a pure elementwise epilogue XLA fuses into a single
+    pass (unlike full-tensor dynamic_update_slice patches, which cost one
+    HBM copy of the output EACH — measured 1.8x slower end-to-end). Exact
+    (same dot products) for every output pixel; differentiable through
+    standard XLA ops.
+
+    Measured on v5e (batch 32, 512^2 AdaIN graph): this op = 115 ms; the
+    DUS-patch variant = 190.5 ms; explicit reflection_pad_2d + VALID
+    conv = 105 ms. The extra strip convolutions cost more than the
+    materialized pad they avoid, so the models ship the explicit-pad
+    path and this op remains available for memory-constrained cases
+    (it never materializes the padded activation).
+
+    Tap accounting (reflection: x[-1] == x[1], x[h] == x[h-2]):
+    * output row 0 misses the three kernel-row-0 taps, which read input
+      row -1 == row 1 (with column reflection at the corners) — a width-
+      wise 3-tap conv of row 1 against ``w[0]``;
+    * symmetrically row h-1 misses ``w[2]`` taps reading row h-2;
+    * output col 0 misses kernel-col-0 taps reading col 1 — but only for
+      kernel rows that stay inside the image (the corner tap (-1,-1) is
+      already covered by the row strip), hence a height-wise 3-tap conv
+      with ZERO row padding; symmetrically for col wd-1.
     """
     n, h, wd, c = x.shape
     dn = ("NHWC", "HWIO", "NHWC")
 
-    def conv(v, padding):
+    def conv(v, k, padding):
         return jax.lax.conv_general_dilated(
-            v, w, (1, 1), padding, dimension_numbers=dn,
+            v, k, (1, 1), padding, dimension_numbers=dn,
             preferred_element_type=v.dtype)
 
-    y = conv(x, ((1, 1), (1, 1)))  # zero-pad SAME: interior rows/cols exact
+    y = conv(x, w, ((1, 1), (1, 1)))  # zero-pad SAME: interior exact
 
-    # Border strips: output row 0 reads input rows (-1, 0, 1) = (1, 0, 1)
-    # under reflection; the strip's own columns reflect-pad to exactly the
-    # padded tensor's columns (they ARE full rows/cols of x).
-    top = jnp.pad(x[:, (1, 0, 1), :, :],
-                  ((0, 0), (0, 0), (1, 1), (0, 0)), mode="reflect")
-    bot = jnp.pad(x[:, (h - 2, h - 1, h - 2), :, :],
-                  ((0, 0), (0, 0), (1, 1), (0, 0)), mode="reflect")
-    lef = jnp.pad(x[:, :, (1, 0, 1), :],
-                  ((0, 0), (1, 1), (0, 0), (0, 0)), mode="reflect")
-    rig = jnp.pad(x[:, :, (wd - 2, wd - 1, wd - 2), :],
-                  ((0, 0), (1, 1), (0, 0), (0, 0)), mode="reflect")
-    zero = ((0, 0), (0, 0))
-    y = jax.lax.dynamic_update_slice(y, conv(top, zero), (0, 0, 0, 0))
-    y = jax.lax.dynamic_update_slice(y, conv(bot, zero), (0, h - 1, 0, 0))
-    y = jax.lax.dynamic_update_slice(y, conv(lef, zero), (0, 0, 0, 0))
-    y = jax.lax.dynamic_update_slice(y, conv(rig, zero), (0, 0, wd - 1, 0))
+    refl_w = ((0, 0), (0, 0), (1, 1), (0, 0))
+    top = conv(jnp.pad(x[:, 1:2], refl_w, mode="reflect"),
+               w[0:1], ((0, 0), (0, 0)))
+    bot = conv(jnp.pad(x[:, h - 2:h - 1], refl_w, mode="reflect"),
+               w[2:3], ((0, 0), (0, 0)))
+    lef = conv(x[:, :, 1:2], w[:, 0:1], ((1, 1), (0, 0)))
+    rig = conv(x[:, :, wd - 2:wd - 1], w[:, 2:3], ((1, 1), (0, 0)))
+
+    zero2 = ((0, 0), (0, 0))
+    y = (y
+         + jnp.pad(top, ((0, 0), (0, h - 1)) + zero2)
+         + jnp.pad(bot, ((0, 0), (h - 1, 0)) + zero2)
+         + jnp.pad(lef, ((0, 0), (0, 0), (0, wd - 1), (0, 0)))
+         + jnp.pad(rig, ((0, 0), (0, 0), (wd - 1, 0), (0, 0))))
     if b is not None:
         y = y + b
     return y

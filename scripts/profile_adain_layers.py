@@ -33,6 +33,12 @@ def main():
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--reps", type=int, default=16)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="profile the fused zero-pad+strip-correction op "
+                        "(ops.image.reflect_conv3x3) instead of the "
+                        "explicit reflection-pad + VALID conv path the "
+                        "models ship (measured faster on v5e: 105 vs "
+                        "115 ms at batch 32/512^2)")
     args = p.parse_args()
 
     import jax
@@ -46,8 +52,8 @@ def main():
     from aip_tpu.models import weights as weights_mod
     from aip_tpu.models.decoder import DECODER_LAYERS
     from aip_tpu.models.vgg import VGG_LAYERS
-    from aip_tpu.ops.image import (max_pool_2x2_ceil, reflection_pad_2d,
-                                   upsample_nearest_2x)
+    from aip_tpu.ops.image import (max_pool_2x2_ceil, reflect_conv3x3,
+                                   reflection_pad_2d, upsample_nearest_2x)
 
     vggp = weights_mod.get_vgg_params()
     decp = weights_mod.get_decoder_params()
@@ -77,7 +83,13 @@ def main():
 
         def fn(x, ci=ci, k=k, pl=params_list):
             if k > 1:
-                x = reflection_pad_2d(x, 1)
+                if args.fused:  # ops.image.reflect_conv3x3 variant
+                    pr = pl[ci]
+                    dt = jnp.bfloat16
+                    return jax.nn.relu(reflect_conv3x3(
+                        x.astype(dt), pr["w"].astype(dt),
+                        pr["b"].astype(dt)))
+                x = reflection_pad_2d(x, 1)  # the models' shipped path
             return jax.nn.relu(conv(x, pl[ci]))
 
         stages.append((label, fn, flops, byts))

@@ -46,6 +46,8 @@ run() {
 probe initial || { echo "initial probe failed — aborting queue"; exit 1; }
 
 run roofline_b32 1800 python -u scripts/profile_adain_layers.py --batch 32
+run roofline_b32_padded 1800 python -u scripts/profile_adain_layers.py \
+  --batch 32 --padded
 run roofline_b64 1800 python -u scripts/profile_adain_layers.py --batch 64
 
 run distill 7200 python -u scripts/distill_magenta.py --steps 8000
