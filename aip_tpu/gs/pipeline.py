@@ -175,7 +175,10 @@ def run_3dgs_rendering(
     splat sets beyond one chip's HBM; exact vs the replicated renderer."""
     from PIL import Image
 
-    from aip_tpu.gs.render import fit_selection, render, settings_from_selection
+    from aip_tpu.gs.colorfield import precompute_features
+    from aip_tpu.gs.render import (fit_selection, make_inference_frame_fn,
+                                   render, render_frame,
+                                   settings_from_selection)
     from aip_tpu.pipelines.adain_infer import get_style_embeddings, _to_array
 
     model_path = Path(model_path)
@@ -216,14 +219,32 @@ def run_3dgs_rendering(
     out_dir = Path(output_dir or (model_path / "renders"))
     out_dir.mkdir(parents=True, exist_ok=True)
     mesh = _dp_mesh(mesh_dp)
+    # Hash features are camera-independent (reference `gaussians.
+    # precompute()`, gaussian_model.py:653) — decode them once, and on the
+    # single-device matmul path compile ONE whole-frame program per
+    # resolution (make_inference_frame_fn) instead of dispatching the
+    # field/SH/rasterizer separately every view.
+    enc = precompute_features(field, state.xyz)
+    frame_fns = {}
     frames = []
     for i, cam in enumerate(cams_all):
         settings = settings_from_selection(
             sel, cam.image_height, cam.image_width,
             max_per_tile=sel.get("max_per_tile", max_per_tile))
-        out = render(cam, state, field, bg, style_f=style_f, mode="inference",
-                     settings=settings, renderer=renderer, mesh=mesh)
-        img = np.clip(np.asarray(out.render), 0, 1)
+        if (mesh is None and renderer in ("auto", "matmul")
+                and cam.image_height * cam.image_width >= 512 * 512):
+            key = (cam.image_height, cam.image_width)
+            if key not in frame_fns:
+                frame_fns[key] = make_inference_frame_fn(
+                    state, field, settings, bg, style_f=style_f,
+                    precomputed_enc=enc)
+            rendered = render_frame(frame_fns[key], cam)
+        else:
+            rendered = render(cam, state, field, bg, style_f=style_f,
+                              mode="inference", settings=settings,
+                              renderer=renderer, mesh=mesh,
+                              precomputed_enc=enc).render
+        img = np.clip(np.asarray(rendered), 0, 1)
         im = Image.fromarray((img * 255).astype(np.uint8))
         im.save(out_dir / f"{i:05d}.png")
         frames.append(im)

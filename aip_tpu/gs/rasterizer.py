@@ -104,6 +104,18 @@ class RasterSettings(NamedTuple):
     giant_backend: str = "merge"
     giant_span: int = 8
     giant_pool_full: int = 1024
+    # Multi-tier anchored emission for the 'direct' backend: a tuple of
+    # (span, pool) pairs, ascending by span. Each giant lands in the
+    # smallest anchored tier whose span covers its clipped rect (span^2
+    # static slots per pooled splat); only splats wider than every tier
+    # fall through to the full-grid pool (n_blocks slots each). Empty ()
+    # keeps the legacy two-pool behavior (one anchored tier at
+    # (giant_span, giant_pool)). Real trained scenes carry thousands of
+    # just-over-dup_span splats and only dozens of screen-filling
+    # monsters (bed_0037 at 1080p: 9.8k of 11.3k giants fit span 8, 56
+    # exceed span 16), so tiering cuts emitted pair slots ~2-3x — the
+    # pair sort and emission are the selection's cost, not the pools.
+    giant_tiers: tuple = ()
     # Macro-block composite backend for rasterize_matmul: 'matmul' (dense
     # XLA quadratic-basis MXU pipeline), 'pallas' (candidate walk with
     # group-level saturation early-exit), or 'mxu' (dense-group Pallas
@@ -495,8 +507,16 @@ def select_macro_pairsort(mean2d, depths, radii, valid, mth, mtw,
             return (b.reshape(-1), g.reshape(-1).astype(jnp.int32),
                     ok2.reshape(-1), dv)
 
-        parts = [emit(near, settings.giant_pool, spn, spn, True),
-                 emit(far, settings.giant_pool_full, mth, mtw, False)]
+        tiers = settings.giant_tiers or ((spn, settings.giant_pool),)
+        parts = []
+        taken = jnp.zeros_like(giant)
+        for t_span, t_pool in tiers:
+            fits = (giant & ~taken
+                    & (gx1 - gx0 < t_span) & (gy1 - gy0 < t_span))
+            parts.append(emit(fits, t_pool, t_span, t_span, True))
+            taken = taken | fits
+        parts.append(emit(giant & ~taken, settings.giant_pool_full,
+                          mth, mtw, False))
         blk = jnp.concatenate([blk] + [p[0] for p in parts])
         gid = jnp.concatenate([gid] + [p[1] for p in parts])
         ok_flat = jnp.concatenate([ok_flat] + [p[2] for p in parts])

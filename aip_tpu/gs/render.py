@@ -47,13 +47,18 @@ def make_settings(camera, max_per_tile: int = 128, chunk: int = 4096) -> RasterS
 # keys keep the RasterSettings defaults, so legacy recorded shapes load).
 SELECTION_KEYS = ("macro_capacity", "dup_span", "giant_capacity",
                   "giant_backend", "giant_span", "giant_pool",
-                  "giant_pool_full")
+                  "giant_pool_full", "giant_tiers")
 
 
 def settings_from_selection(sel: dict, height: int, width: int,
                             max_per_tile: int = 128, **kw) -> RasterSettings:
     """RasterSettings from a (possibly legacy) selection dict."""
     fields = {k: sel[k] for k in SELECTION_KEYS if k in sel}
+    if "giant_tiers" in fields:
+        # JSON round-trips tuples as lists; RasterSettings is a jit static
+        # arg and must stay hashable.
+        fields["giant_tiers"] = tuple(
+            (int(s), int(p)) for s, p in fields["giant_tiers"])
     return RasterSettings(image_height=height, image_width=width,
                           max_per_tile=max_per_tile, **fields, **kw)
 
@@ -61,10 +66,11 @@ def settings_from_selection(sel: dict, height: int, width: int,
 def fit_selection(state: G.GaussianState, cams, macro: int = 4,
                   sample: int = 8, margin: float = 1.15,
                   lo: int = 1024, hi: int = 4096,
-                  max_span: int = 6) -> dict:
+                  max_span: int = 6, opacity_cull: bool = True) -> dict:
     """Fit the pairsort selection shape to the scene's measured demand.
 
-    Returns ``{"macro_capacity", "dup_span", "giant_capacity"}``.
+    Returns ``{"macro_capacity", "dup_span", "giant_capacity",
+    "giant_tiers", ...}``.
 
     * ``macro_capacity``: the macro selection keeps only that many
       front-most splats per (macro*16)px block; when per-block demand
@@ -73,23 +79,31 @@ def fit_selection(state: G.GaussianState, cams, macro: int = 4,
       diff-gaussian-rasterization/forward.cu duplicate keys). Fitted to
       max demand * margin, rounded to a multiple of 64 (the MXU composite
       group), clamped to [lo, hi].
-    * ``dup_span`` / ``giant_capacity``: splats spanning more than
-      dup_span macro blocks route through the capped per-supertile giant
-      merge — and trained real scenes carry MANY such splats (bed_0037 at
-      800^2: 13.8k giants at dup_span=2 vs a 128-slot cap, which visibly
-      truncated renders). Both are fitted together by minimizing total
-      emitted pair slots (n_alive * dup_span^2 + n_blocks *
-      giant_capacity) subject to giant_capacity covering the worst
-      per-supertile giant count * margin — selection becomes exact for
-      the sampled views.
+    * ``dup_span`` / ``giant_tiers`` / ``giant_pool_full``: splats
+      spanning more than dup_span macro blocks emit through anchored
+      tiers — and trained real scenes carry MANY such splats (bed_0037
+      at 800^2: 13.8k giants at dup_span=2 vs a 128-slot cap, which
+      visibly truncated renders). Fitted jointly by minimizing total
+      emitted pair slots (the pair sort and emission elementwise work
+      scale with slots, sentinels included): normal ``n_alive * d^2`` +
+      per anchored tier ``pool * span^2`` + full-grid ``pool_full *
+      n_blocks``, over dup_span in [2, max_span] and subsets of up to 3
+      anchored tier spans, subject to each pool covering the worst
+      measured per-tier count * margin — selection is exact for the
+      sampled views. Demand is measured on the opacity-culled radii
+      (``selection_radii``) the selection itself uses; the raw 3-sigma
+      footprints overfit pools ~1.3x on trained scenes.
 
     One host-side pre-pass over ``sample`` evenly-spaced cameras
     (summed-area tables over bounding rects); one value set per scene so
     the compiled program stays static across cameras.
     """
+    import itertools
+
     import numpy as np
 
-    from aip_tpu.gs.rasterizer import TILE, project_gaussians
+    from aip_tpu.gs.rasterizer import (TILE, project_gaussians,
+                                       selection_radii)
 
     cams = list(cams)
     if not cams:
@@ -106,11 +120,13 @@ def fit_selection(state: G.GaussianState, cams, macro: int = 4,
     # worst per-supertile giant count for each candidate dup_span
     spans = list(range(2, max_span + 1))
     worst_giants = {d: 0 for d in spans}
-    # direct-emission pools: giants with clipped span <= giant_span go in
-    # the anchored pool, wider monsters in the full-grid pool
-    giant_span = 8
-    worst_near = {d: 0 for d in spans}
-    worst_far = {d: 0 for d in spans}
+    # Anchored-tier candidates: per (cam, dup_span) the count of giants
+    # whose clipped rect fits each candidate span (cumulative), plus the
+    # total giant count — the host-side subset search below turns these
+    # into per-tier exclusive counts.
+    tier_spans = [2, 3, 4, 6, 8, 12, 16, 24, 32]
+    cum_fit = []   # list over cams of {d: np.array[len(tier_spans)]}
+    tot_g = []     # list over cams of {d: int}
     for cam in cams[::step]:
         s = RasterSettings(image_height=cam.image_height,
                            image_width=cam.image_width)
@@ -119,6 +135,8 @@ def fit_selection(state: G.GaussianState, cams, macro: int = 4,
             jnp.asarray(cam.world_view_transform, jnp.float32),
             jnp.asarray(cam.full_proj_transform, jnp.float32),
             math.tan(cam.FoVx * 0.5), math.tan(cam.FoVy * 0.5), s)
+        if opacity_cull:
+            radii = selection_radii(radii, opac)
         v = (np.asarray(valid & state.active & (opac > 1.0 / 255.0))
              & (np.asarray(radii) > 0))
         mx = np.asarray(mean2d[:, 0])[v]
@@ -167,15 +185,23 @@ def fit_selection(state: G.GaussianState, cams, macro: int = 4,
         sth, stw = -(-th // sb), -(-tw // sb)
         sx0, sx1 = x0 // sb, x1 // sb
         sy0, sy1 = y0 // sb, y1 // sb
+        cam_cum = {}
+        cam_tot = {}
         for d_span in spans:
             g = (ux1 - ux0 >= d_span) | (uy1 - uy0 >= d_span)
-            if not g.any():
-                continue
-            h = rect_hist((sth, stw), sy0[g], sx0[g], sy1[g], sx1[g])
-            worst_giants[d_span] = max(worst_giants[d_span], int(h.max()))
-            near = g & (x1 - x0 < giant_span) & (y1 - y0 < giant_span)
-            worst_near[d_span] = max(worst_near[d_span], int(near.sum()))
-            worst_far[d_span] = max(worst_far[d_span], int((g & ~near).sum()))
+            cam_tot[d_span] = int(g.sum())
+            if g.any():
+                h = rect_hist((sth, stw), sy0[g], sx0[g], sy1[g], sx1[g])
+                worst_giants[d_span] = max(worst_giants[d_span], int(h.max()))
+                # Clipped per-axis span: a giant fits anchored tier t iff
+                # max(x1-x0, y1-y0) < t (select_macro_pairsort emission).
+                cs = np.maximum(x1 - x0, y1 - y0)[g]
+                cam_cum[d_span] = np.array(
+                    [int((cs < t).sum()) for t in tier_spans])
+            else:
+                cam_cum[d_span] = np.zeros(len(tier_spans), np.int64)
+        cum_fit.append(cam_cum)
+        tot_g.append(cam_tot)
 
     cap = -(-int(worst * margin) // 64) * 64
     kc = max(lo, min(hi, cap))
@@ -186,23 +212,61 @@ def fit_selection(state: G.GaussianState, cams, macro: int = 4,
     def bucket(count, floor):
         return max(floor, -(-int(count * margin) // 64) * 64)
 
-    # Direct emission: pairs = normal duplicates + anchored giant slots +
-    # full-grid monster slots. Minimizing emitted slots picks dup_span; the
-    # pools size to measured counts (+margin for novel views) — exact
-    # coverage whenever the live counts stay under them (beyond-pool giants
-    # drop rearmost-first, like a capped CUDA tile list).
-    def direct_cost(d):
-        return (n_alive_max * d * d
-                + bucket(worst_near[d], 128) * giant_span * giant_span
-                + bucket(worst_far[d], 64) * n_blocks_max)
+    # Direct emission: pairs = normal duplicates + anchored tier slots +
+    # full-grid monster slots. Minimizing emitted slots picks dup_span AND
+    # the tier set; each pool sizes to the measured per-tier count
+    # (+margin for novel views) — exact coverage whenever the live counts
+    # stay under the pools (beyond-pool giants drop rearmost-first, like
+    # a capped CUDA tile list).
+    idx_of = {t: i for i, t in enumerate(tier_spans)}
+    useful = [t for t in tier_spans if t * t < n_blocks_max]
+    # Each anchored tier adds a depth-compaction sort over N plus its own
+    # emission segment; charge slot-equivalents so marginal tiers don't
+    # proliferate.
+    tier_tax = max(4096, n_alive_max // 4)
 
-    dup = min(spans, key=direct_cost)
+    def fit_direct(d, subset):
+        cost = n_alive_max * d * d
+        pools = []
+        for j, t in enumerate(subset):
+            w = 0
+            for cc in cum_fit:
+                c_hi = int(cc[d][idx_of[t]])
+                c_lo = int(cc[d][idx_of[subset[j - 1]]]) if j else 0
+                w = max(w, c_hi - c_lo)
+            p = bucket(w, 128)
+            pools.append((t, p))
+            cost += p * t * t + tier_tax
+        w_far = 0
+        for cc, tg in zip(cum_fit, tot_g):
+            c_hi = int(cc[d][idx_of[subset[-1]]]) if subset else 0
+            w_far = max(w_far, tg[d] - c_hi)
+        p_far = bucket(w_far, 64)
+        cost += p_far * n_blocks_max
+        return cost, tuple(pools), p_far
+
+    best = None
+    for d in spans:
+        if not useful:
+            # Grid too small for any anchored tier to beat full-grid
+            # emission (n_blocks <= 4): keep one minimal tier so
+            # giant_tiers=() never falls back to the legacy default pool.
+            cost, pools, p_far = fit_direct(d, (2,))
+            best = min(best, (cost, d, pools, p_far)) if best else (
+                cost, d, pools, p_far)
+            continue
+        for k in range(1, min(3, len(useful)) + 1):
+            for subset in itertools.combinations(useful, k):
+                cost, pools, p_far = fit_direct(d, subset)
+                if best is None or cost < best[0]:
+                    best = (cost, d, pools, p_far)
+    _, dup, tiers, pool_full = best
+
     k_tile = max(32, min(512, -(-int(worst_tile * margin) // 32) * 32))
     return {"macro_capacity": kc, "dup_span": dup,
             "giant_capacity": giant_cap(dup),
-            "giant_backend": "direct", "giant_span": giant_span,
-            "giant_pool": bucket(worst_near[dup], 128),
-            "giant_pool_full": bucket(worst_far[dup], 64),
+            "giant_backend": "direct", "giant_tiers": tiers,
+            "giant_pool_full": pool_full,
             "max_per_tile": k_tile}
 
 
@@ -223,6 +287,70 @@ def _sh_colors(sh: jax.Array, xyz: jax.Array, campos: jax.Array) -> jax.Array:
     # eval_sh wants [..., C, coeffs]: transpose [N, 16, 3] -> [N, 3, 16].
     rgb = eval_sh(3, jnp.swapaxes(sh, 1, 2), dirs)
     return jnp.maximum(rgb + 0.5, 0.0)
+
+
+def make_inference_frame_fn(
+    state: G.GaussianState,
+    field: ColorFieldParams | None,
+    settings: RasterSettings,
+    bg_color,
+    style_f: jax.Array | None = None,
+    precomputed_enc: jax.Array | None = None,
+    sh_override: jax.Array | None = None,
+):
+    """One jitted camera->image program for inference serving.
+
+    The eager ``render()`` wrapper dispatches the field decode, SH->RGB,
+    and rasterizer as separate programs per frame (+21 ms/frame measured
+    on the bed_0037 1080p bench vs a single jitted program). This builds
+    the whole frame as ONE program and hoists everything
+    camera-independent out of it entirely: the SH coefficients — the
+    color field does not see the camera (reference
+    ``gaussian_model.precompute()``, `scene/gaussian_model.py:653`, plus
+    the style-conditioned MLP head) — and the activation transforms.
+    Only the view-direction SH evaluation and the rasterizer run per
+    frame.
+
+    Returns ``frame(vm, pm, campos, tanfovx, tanfovy) -> [H, W, 3]``;
+    all five arguments are traced operands, so one compiled program
+    serves every camera at the settings' resolution.
+    """
+    from aip_tpu.gs.rasterizer import rasterize_matmul
+
+    if settings.macro <= 1:
+        settings = settings._replace(
+            macro=4, macro_capacity=max(settings.macro_capacity, 1024),
+            composite_backend="mxu")
+    if sh_override is not None:
+        sh = sh_override
+    else:
+        sh = predict_sh(field, state.xyz, style_f,
+                        precomputed_enc=precomputed_enc)
+    xyz = state.xyz
+    scales = jnp.exp(state.scaling)
+    rotations = state.rotation
+    opacity = jnp.where(state.active,
+                        jax.nn.sigmoid(state.opacity)[:, 0], 0.0)
+    bg = jnp.asarray(bg_color, jnp.float32)
+
+    @jax.jit
+    def frame(vm, pm, campos, tanfovx, tanfovy):
+        colors = _sh_colors(sh, xyz, campos)
+        img, _radii = rasterize_matmul(
+            xyz, scales, rotations, opacity, colors, vm, pm, bg, settings,
+            tanfovx=tanfovx, tanfovy=tanfovy)
+        return img
+
+    return frame
+
+
+def render_frame(frame_fn, camera) -> jax.Array:
+    """Drive a make_inference_frame_fn program with a Camera."""
+    return frame_fn(
+        jnp.asarray(camera.world_view_transform, jnp.float32),
+        jnp.asarray(camera.full_proj_transform, jnp.float32),
+        jnp.asarray(camera.camera_center, jnp.float32),
+        math.tan(camera.FoVx * 0.5), math.tan(camera.FoVy * 0.5))
 
 
 def render(

@@ -28,7 +28,10 @@ def _load(model_path):
 def _render_cams(cams, state, field, bg, style_f, out_dir, max_per_tile=128,
                  mesh_dp: int = 0, sel=None):
     from PIL import Image
-    from aip_tpu.gs.render import fit_selection, render, settings_from_selection
+    from aip_tpu.gs.colorfield import precompute_features
+    from aip_tpu.gs.render import (fit_selection, make_inference_frame_fn,
+                                   render, render_frame,
+                                   settings_from_selection)
     from aip_tpu.parallel.mesh import make_dp_mesh
 
     out_dir = Path(out_dir)
@@ -46,14 +49,28 @@ def _render_cams(cams, state, field, bg, style_f, out_dir, max_per_tile=128,
                     giant_capacity=128, giant_backend="merge") if uses_macro
                else {"macro_capacity": 1024, "dup_span": 2,
                      "giant_capacity": 128})
+    enc = precompute_features(field, state.xyz)
+    frame_fns = {}
     paths = []
     for i, cam in enumerate(cams):
         settings = settings_from_selection(
             sel, cam.image_height, cam.image_width,
             max_per_tile=max_per_tile)
-        out = render(cam, state, field, bg, style_f=style_f, mode="inference",
-                     settings=settings, mesh=mesh)
-        img = (np.clip(np.asarray(out.render), 0, 1) * 255).astype(np.uint8)
+        if (mesh is None
+                and cam.image_height * cam.image_width >= 512 * 512):
+            # One jitted camera->image program per resolution (SH and
+            # hash features hoisted; make_inference_frame_fn).
+            key = (cam.image_height, cam.image_width)
+            if key not in frame_fns:
+                frame_fns[key] = make_inference_frame_fn(
+                    state, field, settings, bg, style_f=style_f,
+                    precomputed_enc=enc)
+            rendered = render_frame(frame_fns[key], cam)
+        else:
+            rendered = render(cam, state, field, bg, style_f=style_f,
+                              mode="inference", settings=settings,
+                              mesh=mesh, precomputed_enc=enc).render
+        img = (np.clip(np.asarray(rendered), 0, 1) * 255).astype(np.uint8)
         p = out_dir / f"{i:05d}.png"
         Image.fromarray(img).save(p)
         paths.append(p)

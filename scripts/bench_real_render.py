@@ -45,7 +45,8 @@ def main():
     from aip_tpu.gs.cameras import Camera, focal2fov, fov2focal
     from aip_tpu.gs.colorfield import precompute_features
     from aip_tpu.gs.dataset import Scene
-    from aip_tpu.gs.render import fit_selection, render
+    from aip_tpu.gs.render import (fit_selection, make_inference_frame_fn,
+                                   render, render_frame)
     from aip_tpu.gs.rasterizer import RasterSettings
     from aip_tpu.pipelines.adain_infer import get_style_embeddings, _to_array
 
@@ -67,7 +68,7 @@ def main():
         cams.append(Camera(colmap_id=0, R=c.R, T=c.T, FoVx=c.FoVx, FoVy=fy,
                            image=blank, image_name=c.image_name, uid=0))
 
-    sel = fit_selection(state, cams)
+    sel = fit_selection(state, cams, hi=8192)
     kc = sel["macro_capacity"]
     live = int(np.asarray(state.active).sum())
     print(f"live gaussians {live}, fitted selection {sel}", flush=True)
@@ -88,10 +89,18 @@ def main():
     def sync(x):
         np.asarray(jax.lax.slice(x.reshape(-1), (0,), (1,)))
 
-    def frame(cam):
-        return render(cam, state, field, bg, style_f=style_f,
-                      mode="inference", settings=settings,
-                      precomputed_enc=enc, renderer=args.renderer).render
+    if args.renderer == "matmul":
+        # Serving path: one jitted camera->image program, SH hoisted.
+        fn = make_inference_frame_fn(state, field, settings, bg,
+                                     style_f=style_f, precomputed_enc=enc)
+
+        def frame(cam):
+            return render_frame(fn, cam)
+    else:
+        def frame(cam):
+            return render(cam, state, field, bg, style_f=style_f,
+                          mode="inference", settings=settings,
+                          precomputed_enc=enc, renderer=args.renderer).render
 
     for cam in cams:  # compile + warm every pose
         sync(frame(cam))

@@ -58,7 +58,7 @@ def main():
     cam = Camera(colmap_id=0, R=c.R, T=c.T, FoVx=c.FoVx, FoVy=fy,
                  image=blank, image_name=c.image_name, uid=0)
 
-    sel = fit_selection(state, [cam])
+    sel = fit_selection(state, [cam], hi=8192)
     print("fitted:", sel, flush=True)
     settings = settings_from_selection(sel, args.height, args.width,
                                        macro=4, composite_backend="mxu")

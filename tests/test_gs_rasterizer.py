@@ -671,3 +671,121 @@ def test_opacity_cull_rescues_capacity(rng):
     err_on = float(jnp.mean((tight_on - ref) ** 2))
     err_off = float(jnp.mean((tight_off - ref) ** 2))
     assert err_on <= err_off, (err_on, err_off)
+
+
+def test_pairsort_giant_tiers_matches_merge(rng):
+    """Multi-tier anchored emission (settings.giant_tiers) selects the SAME
+    per-block candidate sets as the uncapped supertile merge on a scene
+    mixing small splats, two anchored tier sizes, and a full-grid
+    monster."""
+    import math
+
+    from aip_tpu.gs.rasterizer import _macro_select, _tile_grid
+
+    cam = _camera(w=128, h=96)
+    n = 160
+    means = (rng.random((n, 3)) * 2 - 1).astype(np.float32)
+    scales = (rng.random((n, 3)) * 0.05 + 0.01).astype(np.float32)
+    scales[:6] = rng.random((6, 3)) * 0.4 + 0.15    # tier-2 giants
+    scales[6:10] = rng.random((4, 3)) * 0.9 + 0.5   # tier-3 giants
+    scales[10:12] = 6.0                             # full-grid monsters
+    quats = rng.standard_normal((n, 4)).astype(np.float32)
+
+    s = RasterSettings(96, 128, max_per_tile=32, chunk=32,
+                       macro=2, macro_capacity=192, dup_span=2,
+                       giant_backend="direct",
+                       giant_tiers=((2, 32), (3, 32)),
+                       giant_pool_full=16, giant_capacity=64)
+    tx, ty = _tanfov(cam)
+    m2d, depth, conic, radius, valid = project_gaussians(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(cam.world_view_transform),
+        jnp.asarray(cam.full_proj_transform), tx, ty, s)
+    th, tw = _tile_grid(s)
+    mth, mtw = math.ceil(th / s.macro), math.ceil(tw / s.macro)
+
+    di, dd = _macro_select(m2d, depth, radius, valid, s, mth, mtw)
+    mi, md = _macro_select(m2d, depth, radius, valid,
+                           s._replace(select_backend="merge"), mth, mtw)
+    di, dd, mi, md = map(np.asarray, (di, dd, mi, md))
+    for b in range(mth * mtw):
+        assert set(di[b][di[b] >= 0]) == set(mi[b][mi[b] >= 0]), b
+        np.testing.assert_allclose(np.sort(dd[b]), np.sort(md[b]))
+
+
+def test_fit_selection_tiers_and_json_roundtrip(rng):
+    """fit_selection returns a tiered direct-emission shape; the tiers
+    survive a JSON round trip (cfg_args.json) and produce hashable
+    RasterSettings whose selection runs."""
+    import json
+    import math
+
+    from aip_tpu.gs import gaussians as G
+    from aip_tpu.gs.rasterizer import _macro_select, _tile_grid
+    from aip_tpu.gs.render import fit_selection, settings_from_selection
+
+    cam = _camera(w=256, h=192)
+    n = 600
+    pts = (rng.random((n, 3)) * 2 - 1).astype(np.float32)
+    cols = rng.random((n, 3)).astype(np.float32)
+    state, _ = G.create_from_pcd(jnp.asarray(pts), jnp.asarray(cols),
+                                 capacity=1024)
+    # Widen some splats into giants so the tier fit has demand to see.
+    scaling = np.array(state.scaling)
+    scaling[:40] = np.log(0.6)
+    scaling[40:44] = np.log(6.0)
+    state = state._replace(scaling=jnp.asarray(scaling))
+
+    sel = fit_selection(state, [cam])
+    assert sel["giant_backend"] == "direct"
+    assert len(sel["giant_tiers"]) >= 1
+    assert sel["giant_pool_full"] >= 64
+    for span, pool in sel["giant_tiers"]:
+        assert span >= 2 and pool % 64 == 0
+
+    sel_json = json.loads(json.dumps(sel))  # tuples -> lists, like cfg_args
+    s = settings_from_selection(sel_json, cam.image_height, cam.image_width)
+    hash(s)  # static jit arg must stay hashable
+    assert s.giant_tiers == tuple(tuple(t) for t in sel["giant_tiers"])
+
+    tx, ty = _tanfov(cam)
+    m2d, depth, conic, radius, valid = project_gaussians(
+        state.xyz, jnp.exp(state.scaling), state.rotation,
+        jnp.asarray(cam.world_view_transform),
+        jnp.asarray(cam.full_proj_transform), tx, ty, s)
+    th, tw = _tile_grid(s)
+    mth, mtw = math.ceil(th / s.macro), math.ceil(tw / s.macro)
+    di, _ = _macro_select(m2d, depth, radius, valid & state.active,
+                          s._replace(macro=4), mth, mtw)
+    assert np.asarray(di).max() >= 0
+
+
+def test_inference_frame_fn_matches_render(rng):
+    """make_inference_frame_fn (the one-program serving path) reproduces
+    the eager render() wrapper's matmul image on a neural-field scene."""
+    import jax
+
+    from aip_tpu.gs import gaussians as G
+    from aip_tpu.gs.colorfield import init_colorfield, precompute_features
+    from aip_tpu.gs.render import (make_inference_frame_fn, render,
+                                   render_frame)
+
+    cam = _camera(w=96, h=64)
+    n = 80
+    pts = (rng.random((n, 3)) * 2 - 1).astype(np.float32)
+    cols = rng.random((n, 3)).astype(np.float32)
+    state, _ = G.create_from_pcd(jnp.asarray(pts), jnp.asarray(cols),
+                                 capacity=128)
+    field = init_colorfield(jax.random.PRNGKey(0), style_dim=None,
+                            log2_hashmap=8)
+    bg = jnp.asarray([0.1, 0.0, 0.2])
+    s = RasterSettings(64, 96, max_per_tile=48, chunk=64, macro=2,
+                       macro_capacity=128, dup_span=2, giant_capacity=64,
+                       composite_backend="matmul")
+
+    ref = render(cam, state, field, bg, mode="inference", settings=s,
+                 renderer="matmul").render
+    enc = precompute_features(field, state.xyz)
+    fn = make_inference_frame_fn(state, field, s, bg, precomputed_enc=enc)
+    out = render_frame(fn, cam)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
