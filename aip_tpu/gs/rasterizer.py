@@ -372,7 +372,7 @@ def composite_tiles(sel_idx, sel_depth, mean2d, conics, colors, opacities,
 
 
 def select_macro_pairsort(mean2d, depths, radii, valid, mth, mtw,
-                          settings: RasterSettings):
+                          settings: RasterSettings, segments: bool = False):
     """Macro-block candidate selection via duplicate-key sort.
 
     The TPU analog of the CUDA rasterizer's duplicated (tile, depth) radix
@@ -603,6 +603,14 @@ def select_macro_pairsort(mean2d, depths, radii, valid, mth, mtw,
     starts = jnp.searchsorted(blk_s, jnp.arange(n_blocks, dtype=jnp.int32))
     ends = jnp.searchsorted(blk_s, jnp.arange(1, n_blocks + 1,
                                               dtype=jnp.int32))
+    if segments:
+        # Segment form: the sorted pair list itself plus per-block ranges
+        # (the CUDA rasterizer's point_list + tile ranges). Consumers walk
+        # rows [starts[b], starts[b]+counts[b]) of gid_s — no [M, Kc] slot
+        # window is ever materialized. counts clip to kc so capacity
+        # truncation semantics match the windowed form exactly.
+        counts = jnp.minimum(ends - starts, kc).astype(jnp.int32)
+        return gid_s, starts.astype(jnp.int32), counts
     slot = starts[:, None] + jnp.arange(kc, dtype=jnp.int32)[None, :]
     in_seg = slot < ends[:, None]
     slot = jnp.minimum(slot, gid_s.shape[0] - 1)
@@ -971,6 +979,25 @@ def _composite_macro_mxu(macro_idx, mean2d, conics, colors, opacities,
     return img.reshape(mth * bs, mtw * bs, 3)
 
 
+def _composite_macro_mxu_seg(gid_s, starts, counts, mean2d, conics, colors,
+                             opacities, bg_color, m, mth, mtw, kc,
+                             interpret=False):
+    """Macro-block compositing through the segment-walk MXU kernel: the
+    packed [N, 16] table is gathered ONCE in pair-sort order ([S, 16]
+    rows, contiguous per block) and the kernel walks each block's
+    [starts, starts+counts) range directly."""
+    from aip_tpu.ops.pallas.composite import composite_macro_mxu_seg_pallas
+
+    bs = m * TILE
+    table = pack_raw_table(mean2d, conics, opacities, colors)
+    raw_sorted = table[gid_s]                        # [S, 16] sorted rows
+    planes = composite_macro_mxu_seg_pallas(
+        raw_sorted, starts, counts, bg_color, n_blocks=mth * mtw, kc=kc,
+        bs=bs, mtw=mtw, interpret=interpret)
+    img = planes.reshape(mth, mtw, 3, bs, bs).transpose(0, 3, 1, 4, 2)
+    return img.reshape(mth * bs, mtw * bs, 3)
+
+
 @functools.partial(jax.jit, static_argnames=("settings", "interpret"))
 def rasterize_matmul(
     means3d: jax.Array,
@@ -1005,6 +1032,21 @@ def rasterize_matmul(
     # candidate slots; filter them out of the binning.
     valid = valid & (opacities > (1.0 / 255.0))
     radii_sel = cull_radii(radii, opacities, settings)
+    if (settings.composite_backend == "mxu"
+            and settings.select_backend == "pairsort"):
+        # Segment path: one sorted-order table gather + contiguous
+        # per-block walks in the kernel — the [M, Kc] slot window and the
+        # [M, Kc, 16] attribute gather (the two per-row-bound gathers of
+        # the windowed path) never materialize.
+        gid_s, starts, counts = select_macro_pairsort(
+            mean2d, depths, radii_sel, valid, mth, mtw, settings,
+            segments=True)
+        img = _composite_macro_mxu_seg(
+            gid_s, starts, counts, mean2d, conics, colors,
+            jnp.asarray(opacities, jnp.float32),
+            jnp.asarray(bg_color, jnp.float32), m, mth, mtw,
+            settings.macro_capacity, interpret=interpret)
+        return img[: settings.image_height, : settings.image_width], radii
     macro_idx, _ = _macro_select(mean2d, depths, radii_sel, valid, settings,
                                  mth, mtw)
     if settings.composite_backend == "mxu":

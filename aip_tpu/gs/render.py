@@ -297,6 +297,7 @@ def make_inference_frame_fn(
     style_f: jax.Array | None = None,
     precomputed_enc: jax.Array | None = None,
     sh_override: jax.Array | None = None,
+    interpret: bool | None = None,
 ):
     """One jitted camera->image program for inference serving.
 
@@ -321,6 +322,12 @@ def make_inference_frame_fn(
         settings = settings._replace(
             macro=4, macro_capacity=max(settings.macro_capacity, 1024),
             composite_backend="mxu")
+    if interpret is None:
+        # The Pallas 'mxu' composite lowers natively only on TPU; resolve
+        # interpret mode at construction (serving builds one fn per model,
+        # and the tests force the CPU backend process-wide).
+        interpret = (settings.composite_backend in ("mxu", "pallas")
+                     and jax.default_backend() != "tpu")
     if sh_override is not None:
         sh = sh_override
     else:
@@ -338,7 +345,7 @@ def make_inference_frame_fn(
         colors = _sh_colors(sh, xyz, campos)
         img, _radii = rasterize_matmul(
             xyz, scales, rotations, opacity, colors, vm, pm, bg, settings,
-            tanfovx=tanfovx, tanfovy=tanfovy)
+            tanfovx=tanfovx, tanfovy=tanfovy, interpret=interpret)
         return img
 
     return frame

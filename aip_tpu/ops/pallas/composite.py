@@ -29,6 +29,28 @@ TILE = 16
 P = TILE * TILE  # pixels per tile
 
 
+def _tri_prefix_dot(tri, logt):
+    """tri [G, G] @ logt [G, P] at ~f32 accuracy in 3 MXU passes.
+
+    The strict-lower-triangular operand is all 0/1 — EXACT in bf16 — so
+    only logt needs splitting: three DEFAULT-precision passes over the
+    bf16 high/mid/low residues recover ~24 mantissa bits, where
+    Precision.HIGHEST would spend 6 passes splitting both operands (and
+    Mosaic does not lower Precision.HIGH at all). This dot is ~85% of the
+    composite kernel's MXU work; the prefix is a same-sign sum of <= G
+    log1p terms in [-4.6, 0], no cancellation."""
+    def one(x):
+        return jax.lax.dot_general(
+            tri, x, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    hi = logt.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = logt - hi
+    mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = r1 - mid
+    return one(hi) + one(mid) + one(lo)
+
+
 def _make_kernel(tile_w: int):
     def kernel(mean_ref, conic_ref, color_ref, op_ref, valid_ref, bg_ref, out_ref):
         k = mean_ref.shape[0]
@@ -322,10 +344,7 @@ def _make_mxu_kernel(kc: int, p: int, group: int, mtw: int, bs: int):
                 alpha = jnp.minimum(0.99, jnp.exp(jnp.minimum(pw, 0.0)))
                 alpha = jnp.where(alpha < (1.0 / 255.0), 0.0, alpha)
                 logt = jnp.log1p(-alpha)
-                pref = jax.lax.dot_general(
-                    tri_ref[...], logt, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
+                pref = _tri_prefix_dot(tri_ref[...], logt)
                 trans = jnp.exp(pref) * tcar_ref[...]
                 contrib = jnp.where(trans > 1e-4, alpha * trans, 0.0)
                 acc_ref[...] += jax.lax.dot_general(
@@ -343,6 +362,146 @@ def _make_mxu_kernel(kc: int, p: int, group: int, mtw: int, bs: int):
         out_ref[2] = acc_ref[2:3, :] + tc * bg_ref[0, 2]
 
     return kernel
+
+
+def _make_mxu_seg_kernel(p: int, group: int, mtw: int, bs: int, gmax: int):
+    """Segment-walk variant of _make_mxu_kernel: block b's candidates are
+    the CONTIGUOUS rows [starts[b], starts[b]+counts[b]) of a (block,
+    depth)-sorted table, DMA'd group-by-group through the grid's second
+    dimension via scalar-prefetched starts — the CUDA rasterizer's
+    sorted-list + per-tile-range design (diff-gaussian-rasterization's
+    identifyTileRanges), with the [M, Kc] slot/attribute gathers gone."""
+
+    def kernel(starts_ref, counts_ref, raw_ref, basis_ref, tri_ref, bg_ref,
+               out_ref, tcar_ref, acc_ref):
+        b = pl.program_id(0)
+        g = pl.program_id(1)
+
+        @pl.when(g == 0)
+        def _():
+            tcar_ref[...] = jnp.ones((1, p), jnp.float32)
+            acc_ref[...] = jnp.zeros((4, p), jnp.float32)
+
+        start = starts_ref[b]
+        count = counts_ref[b]
+        row0 = (start // group + g) * group  # first table row in this block
+        live = (row0 < start + count) & (jnp.max(tcar_ref[...]) > 1e-4)
+        bx0 = ((b % mtw) * bs).astype(jnp.float32)
+        by0 = ((b // mtw) * bs).astype(jnp.float32)
+        iota_g = jax.lax.broadcasted_iota(jnp.int32, (group, 1), 0)
+
+        @pl.when(live)
+        def _():
+            rw = raw_ref[...]                          # [G, 16]
+            mxl = rw[:, 0:1] - bx0
+            myl = rw[:, 1:2] - by0
+            ca = rw[:, 2:3]
+            cb = rw[:, 3:4]
+            cc = rw[:, 4:5]
+            rows = row0 + iota_g
+            slot_live = (rows >= start) & (rows < start + count)
+            c0 = jnp.where(
+                slot_live,
+                -0.5 * (ca * mxl * mxl + cc * myl * myl) - cb * mxl * myl
+                + rw[:, 5:6], -1e30)
+            zcol = jnp.zeros((group, 1), jnp.float32)
+            cf = jnp.concatenate([
+                c0, ca * mxl + cb * myl, cc * myl + cb * mxl,
+                -0.5 * ca, -0.5 * cc, -cb, zcol, zcol], axis=1)
+            cl = jnp.concatenate([rw[:, 6:9], zcol], axis=1)
+
+            pw = jax.lax.dot_general(
+                cf, basis_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            alpha = jnp.minimum(0.99, jnp.exp(jnp.minimum(pw, 0.0)))
+            alpha = jnp.where(alpha < (1.0 / 255.0), 0.0, alpha)
+            logt = jnp.log1p(-alpha)
+            pref = _tri_prefix_dot(tri_ref[...], logt)
+            trans = jnp.exp(pref) * tcar_ref[...]
+            contrib = jnp.where(trans > 1e-4, alpha * trans, 0.0)
+            acc_ref[...] += jax.lax.dot_general(
+                cl, contrib, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            tcar_ref[...] = (trans[group - 1:group, :]
+                             * (1.0 - alpha[group - 1:group, :]))
+
+        @pl.when(g == gmax - 1)
+        def _():
+            tc = tcar_ref[...]
+            out_ref[0] = acc_ref[0:1, :] + tc * bg_ref[0, 0]
+            out_ref[1] = acc_ref[1:2, :] + tc * bg_ref[0, 1]
+            out_ref[2] = acc_ref[2:3, :] + tc * bg_ref[0, 2]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "kc", "bs", "mtw",
+                                             "group", "interpret"))
+def composite_macro_mxu_seg_pallas(
+    raw_sorted: jax.Array,  # [S, 16] table rows in (block, depth) sort order
+    starts: jax.Array,      # [M] first row of each block's segment
+    counts: jax.Array,      # [M] segment length (pre-clipped to kc)
+    bg_color: jax.Array,    # [3]
+    n_blocks: int,
+    kc: int,
+    bs: int,
+    mtw: int,
+    group: int = 64,
+    interpret: bool = False,
+) -> jax.Array:
+    """Dense-group MXU composite over contiguous sorted segments (see
+    _make_mxu_seg_kernel). Returns [M, 3, 1, bs*bs] flat pixel planes."""
+    import numpy as np
+
+    s = raw_sorted.shape[0]
+    p = bs * bs
+    # One extra group covers segments that start mid-group.
+    gmax = (kc + group - 1) // group + 1
+    pad_rows = ((s + group - 1) // group + gmax) * group - s
+    raw_sorted = jnp.pad(raw_sorted, ((0, pad_rows), (0, 0)))
+    bg = jnp.broadcast_to(bg_color.astype(jnp.float32)[None, :], (1, 3))
+
+    yy = np.arange(bs, dtype=np.float32)
+    py, px = np.meshgrid(yy, yy, indexing="ij")
+    px = px.reshape(-1)
+    py = py.reshape(-1)
+    basis = jnp.asarray(np.stack([
+        np.ones_like(px), px, py, px * px, py * py, px * py,
+        np.zeros_like(px), np.zeros_like(px)]).astype(np.float32))
+    tri = jnp.asarray(np.tril(np.ones((group, group), np.float32), -1))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks, gmax),
+        in_specs=[
+            pl.BlockSpec((group, 16),
+                         lambda b, g, st, ct: (st[b] // group + g, 0)),
+            pl.BlockSpec((8, p), lambda b, g, st, ct: (0, 0)),
+            pl.BlockSpec((group, group), lambda b, g, st, ct: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((None, 3, 1, p),
+                               lambda b, g, st, ct: (b, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((1, p), jnp.float32),
+            pltpu.VMEM((4, p), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _make_mxu_seg_kernel(p, group, mtw, bs, gmax),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 3, 1, p), jnp.float32),
+        interpret=interpret,
+    )(
+        starts.astype(jnp.int32),
+        counts.astype(jnp.int32),
+        raw_sorted.astype(jnp.float32),
+        basis,
+        tri,
+        bg,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("bs", "mtw", "group",
