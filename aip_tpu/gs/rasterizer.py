@@ -658,28 +658,52 @@ def select_per_tile_hierarchical(mean2d, depths, radii, valid,
                                  mth, mtw)  # [mth*mtw, kc]
 
     # ---- Phase 2: per fine tile, filter its macro's candidates.
+    # Gather each macro block's candidate attributes ONCE ([MB, Kc] rows)
+    # and broadcast to its m^2 tiles — the tile-indexed form gathered the
+    # same rows m^2 times ([T, Kc] = 16x the rows at macro=4; gathers are
+    # per-row bound on TPU, so this was the dominant phase-2 cost at
+    # training resolutions).
     n_tiles = th * tw
-    tile_x0 = ((jnp.arange(n_tiles) % tw) * TILE).astype(jnp.float32)
-    tile_y0 = ((jnp.arange(n_tiles) // tw) * TILE).astype(jnp.float32)
-    macro_of_tile = (jnp.arange(n_tiles) // tw // m) * mtw + (jnp.arange(n_tiles) % tw) // m
+    mb = macro_idx.shape[0]                  # mth * mtw
+    cvalid_b = macro_idx >= 0
+    safe_b = jnp.maximum(macro_idx, 0)
+    cm_b = mean2d[safe_b]                    # [MB, Kc, 2]
+    cr_b = radii[safe_b]
+    cd_b = jnp.where(cvalid_b, depths[safe_b], jnp.inf)
 
-    cand = macro_idx[macro_of_tile]          # [T, Kc]
-    cvalid = cand >= 0
-    safe = jnp.maximum(cand, 0)
-    cm = mean2d[safe]                        # [T, Kc, 2]
-    cr = radii[safe]
-    cd = depths[safe]
+    # Tile origins per (block, tile-in-block): [MB, m*m].
+    bidx = jnp.arange(mb)
+    bx0 = (bidx % mtw) * (m * TILE)
+    by0 = (bidx // mtw) * (m * TILE)
+    sub = jnp.arange(m * m)
+    tx0 = (bx0[:, None] + (sub % m)[None, :] * TILE).astype(jnp.float32)
+    ty0 = (by0[:, None] + (sub // m)[None, :] * TILE).astype(jnp.float32)
 
-    ox = (cm[..., 0] + cr >= tile_x0[:, None]) & (cm[..., 0] - cr < tile_x0[:, None] + TILE)
-    oy = (cm[..., 1] + cr >= tile_y0[:, None]) & (cm[..., 1] - cr < tile_y0[:, None] + TILE)
-    hit = ox & oy & cvalid & (cr > 0)
-    key = jnp.where(hit, cd, jnp.inf)
+    ox = ((cm_b[..., 0:1] + cr_b[..., None] >= tx0[:, None, :])
+          & (cm_b[..., 0:1] - cr_b[..., None] < tx0[:, None, :] + TILE))
+    oy = ((cm_b[..., 1:2] + cr_b[..., None] >= ty0[:, None, :])
+          & (cm_b[..., 1:2] - cr_b[..., None] < ty0[:, None, :] + TILE))
+    hit = (ox & oy & (cvalid_b & (cr_b > 0))[..., None])   # [MB, Kc, m*m]
+    key = jnp.where(hit, cd_b[..., None], jnp.inf)         # [MB, Kc, m*m]
 
-    neg_top, pos = jax.lax.top_k(-key, k)
-    sel_d = -neg_top
-    sel_i = jnp.take_along_axis(cand, pos, axis=1)
-    sel_i = jnp.where(jnp.isinf(sel_d), -1, sel_i)
-    return sel_i, sel_d
+    key_t = key.transpose(0, 2, 1).reshape(mb * m * m, kc)
+    neg_top, pos = jax.lax.top_k(-key_t, k)                # [MB*m*m, K]
+    sel_d_b = -neg_top
+    cand_rep = jnp.repeat(macro_idx, m * m, axis=0)        # [MB*m*m, Kc]
+    sel_i_b = jnp.take_along_axis(cand_rep, pos, axis=1)
+    sel_i_b = jnp.where(jnp.isinf(sel_d_b), -1, sel_i_b)
+
+    # (block, tile-in-block) -> global tile order: a static permutation
+    # (trace-time numpy, not a device argsort). Blocks may overhang the
+    # grid edge (mth*m >= th); overhanging sub-tiles are dropped.
+    import numpy as _np
+
+    _sub = _np.arange(m * m)
+    gy = (_np.arange(mb) // mtw)[:, None] * m + (_sub // m)[None, :]
+    gx = (_np.arange(mb) % mtw)[:, None] * m + (_sub % m)[None, :]
+    gt = _np.where((gy < th) & (gx < tw), gy * tw + gx, n_tiles).reshape(-1)
+    order = jnp.asarray(_np.argsort(gt, kind="stable")[:n_tiles])
+    return sel_i_b[order], sel_d_b[order]
 
 
 def selection_radii(radii, opacities):
