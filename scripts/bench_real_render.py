@@ -32,6 +32,8 @@ def main():
     p.add_argument("--views", type=int, default=8, help="distinct poses cycled")
     p.add_argument("--reps", type=int, default=16, help="chained dispatches per sync")
     p.add_argument("--renderer", default="matmul")
+    p.add_argument("--macro", type=int, default=4,
+                   help="macro block edge in tiles (A/B: 4 vs 8)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -68,7 +70,7 @@ def main():
         cams.append(Camera(colmap_id=0, R=c.R, T=c.T, FoVx=c.FoVx, FoVy=fy,
                            image=blank, image_name=c.image_name, uid=0))
 
-    sel = fit_selection(state, cams, hi=8192)
+    sel = fit_selection(state, cams, hi=8192, macro=args.macro)
     kc = sel["macro_capacity"]
     live = int(np.asarray(state.active).sum())
     print(f"live gaussians {live}, fitted selection {sel}", flush=True)
@@ -84,18 +86,28 @@ def main():
     from aip_tpu.gs.render import settings_from_selection
 
     settings = settings_from_selection(
-        sel, args.height, args.width, macro=4, composite_backend="mxu")
+        sel, args.height, args.width, macro=args.macro,
+        composite_backend="mxu")
 
     def sync(x):
         np.asarray(jax.lax.slice(x.reshape(-1), (0,), (1,)))
 
     if args.renderer == "matmul":
         # Serving path: one jitted camera->image program, SH hoisted.
+        # Camera operands are staged on-device ONCE — per-frame host
+        # jnp.asarray conversions are extra relay dispatches (~2 ms each).
         fn = make_inference_frame_fn(state, field, settings, bg,
                                      style_f=style_f, precomputed_enc=enc)
+        staged = [
+            (jnp.asarray(c.world_view_transform, jnp.float32),
+             jnp.asarray(c.full_proj_transform, jnp.float32),
+             jnp.asarray(c.camera_center, jnp.float32),
+             jnp.float32(math.tan(c.FoVx * 0.5)),
+             jnp.float32(math.tan(c.FoVy * 0.5)))
+            for c in cams]
 
         def frame(cam):
-            return render_frame(fn, cam)
+            return fn(*staged[cams.index(cam)])
     else:
         def frame(cam):
             return render(cam, state, field, bg, style_f=style_f,

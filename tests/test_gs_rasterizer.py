@@ -789,3 +789,61 @@ def test_inference_frame_fn_matches_render(rng):
     fn = make_inference_frame_fn(state, field, s, bg, precomputed_enc=enc)
     out = render_frame(fn, cam)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_segment_walk_matches_windowed_truncation(rng):
+    """The segment composite path (mxu+pairsort in rasterize_matmul) clips
+    per-block counts to macro_capacity exactly like the windowed [M, Kc]
+    form: with kc BELOW demand both paths truncate the same rearmost
+    splats, so images match (same selection -> same composite, modulo
+    group-boundary fp association)."""
+    from aip_tpu.gs.rasterizer import (_composite_macro_mxu, _macro_select,
+                                       _tile_grid, cull_radii,
+                                       rasterize_matmul)
+
+    cam = _camera(w=128, h=96)
+    n = 400
+    means = (rng.random((n, 3)) * 2 - 1).astype(np.float32)
+    means[:, :2] *= 0.2  # cluster to force per-block demand over kc
+    scales = (rng.random((n, 3)) * 0.08 + 0.02).astype(np.float32)
+    scales[:6] = rng.random((6, 3)) * 1.0 + 0.3
+    quats = rng.standard_normal((n, 4)).astype(np.float32)
+    opac = (rng.random(n) * 0.8 + 0.1).astype(np.float32)
+    colors = rng.random((n, 3)).astype(np.float32)
+    tx, ty = _tanfov(cam)
+    bg = jnp.asarray([0.05, 0.1, 0.2])
+
+    s = RasterSettings(96, 128, max_per_tile=48, chunk=64, macro=2,
+                       macro_capacity=64,  # far below clustered demand
+                       dup_span=2, giant_backend="direct",
+                       giant_tiers=((3, 64),), giant_pool_full=16,
+                       giant_capacity=64, composite_backend="mxu")
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(colors),
+            jnp.asarray(cam.world_view_transform),
+            jnp.asarray(cam.full_proj_transform), bg)
+
+    # Segment path (rasterize_matmul dispatches it for mxu+pairsort).
+    img_seg, _ = rasterize_matmul(*args, s, tanfovx=tx, tanfovy=ty,
+                                  interpret=True)
+
+    # Windowed path: same selection through the [M, Kc] slot window.
+    import math as _m
+
+    from aip_tpu.gs.rasterizer import project_gaussians
+
+    m2d, depth, conic, radius, valid = project_gaussians(
+        args[0], args[1], args[2], args[5], args[6], tx, ty, s)
+    valid = valid & (args[3] > 1.0 / 255.0)
+    radius = cull_radii(radius, args[3], s)
+    th, tw = _tile_grid(s)
+    mth, mtw = _m.ceil(th / s.macro), _m.ceil(tw / s.macro)
+    mi, _ = _macro_select(m2d, depth, radius, valid, s, mth, mtw)
+    assert int((np.asarray(mi) >= 0).sum(axis=1).max()) == s.macro_capacity
+    img_win = _composite_macro_mxu(mi, m2d, conic, args[4],
+                                   jnp.asarray(args[3], jnp.float32),
+                                   jnp.asarray(bg, jnp.float32),
+                                   s.macro, mth, mtw, interpret=True)
+    img_win = img_win[:96, :128]
+    np.testing.assert_allclose(np.asarray(img_seg), np.asarray(img_win),
+                               atol=1e-5)
