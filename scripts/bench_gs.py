@@ -33,6 +33,16 @@ def main():
     parser.add_argument("--reps", type=int, default=16)
     parser.add_argument("--opacity_cull", type=int, default=1,
                         help="A/B the opacity-aware selection tightening")
+    parser.add_argument("--giant_frac", type=float, default=0.0,
+                        help="inflate this fraction of splats to 'giant' "
+                             "footprints (> dup_span macro blocks) and fit "
+                             "the full selection shape to the scene — "
+                             "emulates a trained real scene's soft "
+                             "background splats (bed_0037 @1080p: 13.0k "
+                             "giants of 131k live = 10%%) without needing "
+                             "the gitignored trained model on disk")
+    parser.add_argument("--giant_scale", type=float, default=25.0,
+                        help="scale multiplier for the giant fraction")
     parser.add_argument("--macro_capacity", type=int, default=None,
                         help="override the macro/mxu backends' per-block "
                              "capacity (default 1152, exact for the 100k "
@@ -75,6 +85,10 @@ def main():
     scales = jnp.asarray(
         ((rng.random((n, 3)) * 0.01 + 0.003) * area).astype(np.float32))
     quats = jnp.asarray(rng.standard_normal((n, 4)).astype(np.float32))
+    if args.giant_frac > 0:
+        giant = rng.random(n) < args.giant_frac
+        scales = jnp.where(jnp.asarray(giant)[:, None],
+                           scales * args.giant_scale, scales)
     if args.opacity_dist == "dim":
         opac = jnp.asarray((rng.random(n) * 0.034 + 0.006).astype(np.float32))
     elif args.opacity_dist == "solid":
@@ -97,6 +111,24 @@ def main():
     tx, ty = math.tan(cam.FoVx * 0.5), math.tan(cam.FoVy * 0.5)
     bg = jnp.zeros(3)
 
+    fitted = None
+    if args.giant_frac > 0:
+        from aip_tpu.gs.gaussians import GaussianState
+        from aip_tpu.gs.render import fit_selection
+
+        op_np = np.asarray(opac, np.float64)
+        logit = np.log(op_np / (1.0 - op_np + 1e-9) + 1e-9).astype(np.float32)
+        state = GaussianState(
+            xyz=means, scaling=jnp.log(scales), rotation=quats,
+            opacity=jnp.asarray(logit)[:, None],
+            mask=jnp.zeros((n, 1), jnp.float32),
+            active=jnp.ones((n,), bool),
+            max_radii2d=jnp.zeros((n,), jnp.float32),
+            xyz_grad_accum=jnp.zeros((n, 1), jnp.float32),
+            denom=jnp.zeros((n, 1), jnp.float32))
+        fitted = fit_selection(state, [cam], hi=8192)
+        print("fitted selection:", fitted, flush=True)
+
     backends = {
         "xla": (rasterize, RasterSettings(H, W, max_per_tile=128, chunk=8192)),
         "pallas": (rasterize_fast, RasterSettings(H, W, max_per_tile=128,
@@ -116,6 +148,8 @@ def main():
     for name in args.backends:
         fn, s = backends[name]
         s = s._replace(opacity_cull=bool(args.opacity_cull))
+        if fitted is not None and name in ("matmul", "mxu"):
+            s = s._replace(**fitted)
         if args.macro_capacity and name in ("matmul", "mxu", "pallas"):
             s = s._replace(macro_capacity=args.macro_capacity)
         if args.cpu and name in ("pallas", "mxu"):
@@ -136,6 +170,7 @@ def main():
     print(json.dumps({"metric": "gs_render_1080p", "n_gaussians": n,
                       "opacity_cull": bool(args.opacity_cull),
                       "opacity_dist": args.opacity_dist,
+                      "giant_frac": args.giant_frac,
                       "results": results}))
 
 
