@@ -1003,6 +1003,31 @@ def _composite_macro_mxu(macro_idx, mean2d, conics, colors, opacities,
     return img.reshape(mth * bs, mtw * bs, 3)
 
 
+# Seg-vs-windowed crossover: the seg path's single gather reads the full
+# emission slot table; it beats the windowed [M, Kc] + [M, Kc, 16] pair of
+# gathers until its row count exceeds ~3x the windowed volume (on-chip A/B:
+# 0.68x ratio -> 23.6 vs 29.8 ms, 1.84x -> 43.5 vs 45.9, 5.6x -> 82.9 vs
+# 64.2 at 100k/300k/1M fogs, 1080p).
+_SEG_SLOT_RATIO = 3.0
+
+
+def _pairsort_slots(n: int, settings: RasterSettings, mth: int,
+                    mtw: int) -> int:
+    """Static emission slot count of select_macro_pairsort (= rows the
+    segment composite must gather in sorted order)."""
+    s = n * settings.dup_span * settings.dup_span
+    n_blocks = mth * mtw
+    if settings.giant_backend == "direct":
+        tiers = settings.giant_tiers or ((settings.giant_span,
+                                          settings.giant_pool),)
+        for t_span, t_pool in tiers:
+            s += min(t_pool, n) * t_span * t_span
+        s += min(settings.giant_pool_full, n) * n_blocks
+    elif settings.giant_capacity > 0:
+        s += n_blocks * settings.giant_capacity
+    return s
+
+
 def _composite_macro_mxu_seg(gid_s, starts, counts, mean2d, conics, colors,
                              opacities, bg_color, m, mth, mtw, kc,
                              interpret=False):
@@ -1057,11 +1082,20 @@ def rasterize_matmul(
     valid = valid & (opacities > (1.0 / 255.0))
     radii_sel = cull_radii(radii, opacities, settings)
     if (settings.composite_backend == "mxu"
-            and settings.select_backend == "pairsort"):
+            and settings.select_backend == "pairsort"
+            and (_pairsort_slots(means3d.shape[0], settings, mth, mtw)
+                 <= _SEG_SLOT_RATIO * mth * mtw * settings.macro_capacity)):
         # Segment path: one sorted-order table gather + contiguous
         # per-block walks in the kernel — the [M, Kc] slot window and the
         # [M, Kc, 16] attribute gather (the two per-row-bound gathers of
-        # the windowed path) never materialize.
+        # the windowed path) never materialize. Its gather volume is the
+        # EMISSION slot count S (every dup/giant slot, valid or not, in
+        # pair-sort order), vs the windowed path's blocks x capacity;
+        # TPU gathers are per-row bound, so past ~3x the windowed volume
+        # the one-gather saving inverts (measured 1M fog, dup_span=2,
+        # kc=1408: S=4M rows -> 82.9 ms vs 64.2 windowed, while at
+        # S<=1.2M the seg path wins every size). Both counts are static,
+        # so the dispatch is trace-time.
         gid_s, starts, counts = select_macro_pairsort(
             mean2d, depths, radii_sel, valid, mth, mtw, settings,
             segments=True)
