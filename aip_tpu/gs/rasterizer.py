@@ -609,6 +609,11 @@ def select_macro_pairsort(mean2d, depths, radii, valid, mth, mtw,
         # rows [starts[b], starts[b]+counts[b]) of gid_s — no [M, Kc] slot
         # window is ever materialized. counts clip to kc so capacity
         # truncation semantics match the windowed form exactly.
+        # _pairsort_slots re-derives this emission count for the static
+        # seg/windowed dispatch and the training memory model; keep the
+        # two in lockstep or the crossover/chunking silently skews.
+        assert gid_s.shape[0] == _pairsort_slots(n, settings, mth, mtw), (
+            gid_s.shape[0], _pairsort_slots(n, settings, mth, mtw))
         counts = jnp.minimum(ends - starts, kc).astype(jnp.int32)
         return gid_s, starts.astype(jnp.int32), counts
     slot = starts[:, None] + jnp.arange(kc, dtype=jnp.int32)[None, :]

@@ -280,11 +280,18 @@ def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
     opt_network = make_net_optimizer(cfg, iter_scale=views_per_step)
     mode = "train_rvq" if use_rvq else "train"
     n_views = views_per_step
-    # Views per vmapped chunk: bound the live composite buffers to ~1 GB
-    # (the [vchunk, tiles, K, 256] autodiff intermediates; ~4 such tensors
-    # are alive under grad). Chunks beyond the first run under lax.scan.
-    n_tiles = ((height + 15) // 16) * ((width + 15) // 16)
-    per_view = n_tiles * cfg.max_per_tile * 256 * 4
+    settings = make_settings_from_dims(height, width, cfg,
+                                       views=views_per_step)
+    # Views per vmapped chunk: bound the live per-view working set to
+    # ~1 GB per chunk (~4 such tensors are alive under grad). The charge
+    # is the [vchunk, tiles, K, 256] dense autodiff intermediates PLUS
+    # the per-view SELECTION buffers — pair-sort emission and the phase-2
+    # macro refinement that macro_capacity inflates. Sizing only the
+    # composite let the 800^2 B=8 kc=2048/K=192 real-scene step pick
+    # vchunk=2 and RESOURCE_EXHAUST on-chip (r4 spot-check,
+    # BENCHMARKS.md "Known issue"). Chunks beyond the first run under
+    # lax.scan.
+    per_view = _per_view_bytes(height, width, cfg, settings)
     if view_chunk:
         assert n_views % view_chunk == 0, (n_views, view_chunk)
         vchunk = view_chunk  # explicit (e.g. dp-sharded: memory divides)
@@ -293,8 +300,6 @@ def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
         while vchunk > 1 and (n_views % vchunk
                               or vchunk * per_view > (1 << 30)):
             vchunk -= 1
-    settings = make_settings_from_dims(height, width, cfg,
-                                       views=views_per_step)
 
     def view_loss(gstate, field, camera, style_f, bg, offs, rvq_s, rvq_r,
                   sh=None):
@@ -428,6 +433,48 @@ def make_train_step(cfg: GSTrainConfig, spatial_lr_scale: float,
     return step
 
 
+def _per_view_bytes(height: int, width: int, cfg: GSTrainConfig,
+                    settings) -> int:
+    """Live bytes ONE rendered view holds during the train step, for the
+    view-chunk budget: the dense composite autodiff intermediates
+    ([tiles, K, 256] fp32 — the reference CUDA kernel streams these in
+    registers, diff-gaussian-rasterization/backward.cu) plus the
+    selection working set the chunk bound must also charge:
+
+    * pair-sort emission: the static slot table (`_pairsort_slots` rows
+      — blk/gid/dqv pre-sort plus the sorted copies, ~6 int32 arrays);
+    * phase-2 macro refinement: the [MB, Kc, m^2] hit/key tensors, the
+      [MB*m^2, Kc] transpose + repeated-candidate copies, and the
+      gathered per-block candidate rows ([MB, Kc] x ~4 f32);
+    * the per-tile attribute gather [tiles, K, 16] feeding the
+      composite.
+
+    All are per-view under the views_per_step vmap; capacity is charged
+    at cfg.capacity (the largest runtime bucket)."""
+    import math as _math
+
+    from aip_tpu.gs.rasterizer import TILE, _pairsort_slots
+
+    th = -(-height // TILE)
+    tw = -(-width // TILE)
+    n_tiles = th * tw
+    k = cfg.max_per_tile
+    total = n_tiles * k * 256 * 4          # dense composite AD buffers
+    total += n_tiles * k * 16 * 4          # per-tile attribute gather
+    if settings.macro > 1:
+        m = settings.macro
+        mb = _math.ceil(th / m) * _math.ceil(tw / m)
+        kc = settings.macro_capacity
+        # hit (bool) + key (f32) + key_t (f32) + cand_rep (i32) + the
+        # [MB, Kc] candidate attribute rows (mean2d/radii/depth ~ 4 f32).
+        total += mb * kc * (m * m * 13 + 16)
+        if settings.select_backend == "pairsort":
+            s = _pairsort_slots(cfg.capacity, settings,
+                                _math.ceil(th / m), _math.ceil(tw / m))
+            total += s * 4 * 6
+    return total
+
+
 def make_settings_from_dims(height: int, width: int, cfg: GSTrainConfig,
                             views: int = 1):
     from aip_tpu.gs.rasterizer import RasterSettings
@@ -437,6 +484,10 @@ def make_settings_from_dims(height: int, width: int, cfg: GSTrainConfig,
     # would be large (>~0.5 GB); below that, storing them is faster than
     # recompute. ``views`` is the vmapped view batch (views_per_step) —
     # the batch multiplies every composite intermediate.
+    # Remat/AD-backend decisions charge the DENSE composite intermediates
+    # only (they are what remat recomputes and what the streamed Pallas
+    # VJP eliminates); the vchunk budget separately charges the full
+    # per-view working set including selection (_per_view_bytes).
     n_tiles = ((height + 15) // 16) * ((width + 15) // 16)
     per_view = n_tiles * cfg.max_per_tile * 256 * 4
     remat = views * per_view > (1 << 29)
