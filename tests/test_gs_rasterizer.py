@@ -816,12 +816,29 @@ def test_segment_walk_matches_windowed_truncation(rng):
     s = RasterSettings(96, 128, max_per_tile=48, chunk=64, macro=2,
                        macro_capacity=64,  # far below clustered demand
                        dup_span=2, giant_backend="direct",
-                       giant_tiers=((3, 64),), giant_pool_full=16,
+                       giant_tiers=((3, 32),), giant_pool_full=8,
                        giant_capacity=64, composite_backend="mxu")
     args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
             jnp.asarray(opac), jnp.asarray(colors),
             jnp.asarray(cam.world_view_transform),
             jnp.asarray(cam.full_proj_transform), bg)
+
+    # The test is only meaningful if rasterize_matmul actually dispatches
+    # the SEGMENT composite for this config — assert the static dispatch
+    # condition so a future threshold/emission change fails loudly
+    # instead of silently comparing windowed-vs-windowed (the r4 tier
+    # pools emitted 2368 slots vs the 2304 crossover and did exactly
+    # that).
+    import math as _m
+
+    from aip_tpu.gs.rasterizer import (_SEG_SLOT_RATIO, _pairsort_slots,
+                                       _tile_grid as _tg)
+
+    _th, _tw = _tg(s)
+    _mth, _mtw = _m.ceil(_th / s.macro), _m.ceil(_tw / s.macro)
+    assert (_pairsort_slots(n, s, _mth, _mtw)
+            <= _SEG_SLOT_RATIO * _mth * _mtw * s.macro_capacity), \
+        "config no longer takes the segment path"
 
     # Segment path (rasterize_matmul dispatches it for mxu+pairsort).
     img_seg, _ = rasterize_matmul(*args, s, tanfovx=tx, tanfovy=ty,
