@@ -11,7 +11,8 @@ import pygame
 
 from aip_tpu.gui.widgets import (
     Button, Slider, RadioGroup, ListBox, LoadingSpinner, PipelineRunner,
-    draw_text, open_file_dialog, surface_from_file, surface_from_array,
+    animated_surface_from_file, draw_text, open_file_dialog,
+    surface_from_file, surface_from_array,
     WHITE, BLACK, DARK,
 )
 
@@ -92,8 +93,12 @@ class PipelinePage:
             self.runner.result = None
             try:
                 if isinstance(res, (str, Path)) and Path(str(res)).suffix.lower() in (
-                        ".png", ".jpg", ".jpeg", ".gif"):
-                    self.result_surface = surface_from_file(res, max_size=self.result_max)
+                        ".png", ".jpg", ".jpeg", ".gif", ".mp4", ".avi",
+                        ".mov", ".mkv", ".webm"):
+                    # GIFs animate and videos play in-pane
+                    # (first_page.py:150-163, draw_helpers.py:263-308).
+                    self.result_surface = animated_surface_from_file(
+                        res, max_size=self.result_max)
                 elif isinstance(res, np.ndarray):
                     surf = surface_from_array(res)
                     w, h = surf.get_size()
@@ -129,9 +134,12 @@ class PipelinePage:
             draw_text(self.status, small, WHITE, self.screen,
                       self.screen.get_width() // 2, self.screen.get_height() - 20)
         if self.result_surface is not None:
-            rect = self.result_surface.get_rect()
+            surf = (self.result_surface.current()
+                    if hasattr(self.result_surface, "current")
+                    else self.result_surface)
+            rect = surf.get_rect()
             rect.topleft = self.result_pos
-            self.screen.blit(self.result_surface, rect)
+            self.screen.blit(surf, rect)
 
     def handle(self, event):
         for b in self.buttons:

@@ -227,6 +227,104 @@ def surface_from_file(path, max_size=None) -> pygame.Surface:
     return surf
 
 
+def _fit(surf: pygame.Surface, max_size) -> pygame.Surface:
+    if not max_size:
+        return surf
+    w, h = surf.get_size()
+    scale = min(max_size[0] / w, max_size[1] / h, 1.0)
+    if scale >= 1.0:
+        return surf
+    return pygame.transform.smoothscale(surf, (int(w * scale), int(h * scale)))
+
+
+class AnimatedSurface:
+    """Frame-cycling playback for GIF / video results in the result pane.
+
+    The reference plays its 3DGS orbit GIF in-page (first_page.py:76-88
+    load_gif_frames + :150-163 frame cycling) and its stylized videos
+    through draw_helpers.play_video (:263-308, cv2.VideoCapture loop).
+    Here all frames are decoded up front into pygame surfaces and
+    `current()` picks by wall-clock against the cumulative per-frame
+    durations, so playback speed is independent of the draw loop's
+    frame rate.
+    """
+
+    def __init__(self, frames, durations):
+        assert frames, "no frames"
+        self.frames = frames
+        self.durations = [max(float(d), 1e-3) for d in durations]
+        self.total = sum(self.durations)
+        self._cum = []
+        acc = 0.0
+        for d in self.durations:
+            acc += d
+            self._cum.append(acc)
+        self.t0 = time.time()
+
+    @classmethod
+    def from_gif(cls, path, max_size=None) -> "AnimatedSurface":
+        from PIL import Image
+
+        im = Image.open(str(path))
+        frames, durations = [], []
+        try:
+            while True:
+                frame = im.convert("RGB")
+                surf = pygame.image.frombytes(
+                    frame.tobytes(), frame.size, "RGB")
+                frames.append(_fit(surf, max_size))
+                durations.append(im.info.get("duration", 100) / 1000.0)
+                im.seek(im.tell() + 1)
+        except EOFError:
+            pass
+        return cls(frames, durations)
+
+    @classmethod
+    def from_video(cls, path, max_size=None) -> "AnimatedSurface":
+        import cv2
+
+        cap = cv2.VideoCapture(str(path))
+        if not cap.isOpened():
+            raise ValueError(f"could not open video {path}")
+        fps = cap.get(cv2.CAP_PROP_FPS) or 24.0
+        frames = []
+        while True:
+            ret, frame = cap.read()
+            if not ret:
+                break
+            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            frames.append(_fit(surface_from_array(rgb), max_size))
+        cap.release()
+        if not frames:
+            raise ValueError(f"no frames in {path}")
+        return cls(frames, [1.0 / max(fps, 1.0)] * len(frames))
+
+    def current(self) -> pygame.Surface:
+        t = (time.time() - self.t0) % self.total
+        for i, c in enumerate(self._cum):
+            if t < c:
+                return self.frames[i]
+        return self.frames[-1]
+
+    def get_size(self):
+        return self.frames[0].get_size()
+
+    def get_rect(self, **kw):
+        return self.frames[0].get_rect(**kw)
+
+
+def animated_surface_from_file(path, max_size=None):
+    """GIF/video -> AnimatedSurface; still image -> plain Surface."""
+    sfx = Path(str(path)).suffix.lower()
+    if sfx == ".gif":
+        anim = AnimatedSurface.from_gif(path, max_size=max_size)
+        # single-frame GIFs degrade to a plain surface
+        return anim if len(anim.frames) > 1 else anim.frames[0]
+    if sfx in (".mp4", ".avi", ".mov", ".mkv", ".webm"):
+        return AnimatedSurface.from_video(path, max_size=max_size)
+    return surface_from_file(path, max_size=max_size)
+
+
 class LoadingSpinner:
     """Animated 'Processing...' indicator (draw_helpers.loading_animation)."""
 

@@ -24,6 +24,8 @@ def main():
     parser.add_argument("--views_per_step", type=int, default=1)
     parser.add_argument("--opacity_cull", type=int, default=1,
                         help="A/B the opacity-aware selection tightening")
+    parser.add_argument("--max_per_tile", type=int, default=128)
+    parser.add_argument("--macro_capacity", type=int, default=1024)
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (smoke tests; the env "
                              "var route hangs when the axon relay is down)")
@@ -47,7 +49,9 @@ def main():
     rng = np.random.default_rng(0)
     n, res = args.n, args.res
     cfg = GSTrainConfig(capacity=n, log2_hashmap=args.log2, style_dim=256,
-                        opacity_cull=bool(args.opacity_cull))
+                        opacity_cull=bool(args.opacity_cull),
+                        max_per_tile=args.max_per_tile,
+                        macro_capacity=args.macro_capacity)
     pts = (rng.random((n, 3)) * 2 - 1).astype(np.float32)
     cols = rng.random((n, 3)).astype(np.float32)
     trainer = init_trainer(cfg, jnp.asarray(pts), jnp.asarray(cols), 3.0)

@@ -141,3 +141,70 @@ def test_video_page_has_flow_and_stylizer_toggles(app):
     page = VideoPage(app.screen, app._back_to_menu)
     assert page.radios[0].options == ["farneback", "tvl1", "lk"]
     assert page.radios[1].options == ["AdaIN", "fast stylizer"]
+
+
+def test_gif_result_animates_in_pane(app, tmp_path, rng):
+    """The 3DGS page's flagship deliverable is an orbit GIF; the reference
+    plays it in-page (first_page.py:150-163). A multi-frame GIF result
+    must become a frame-cycling AnimatedSurface whose current() frame
+    advances with time, and draw() must blit it without error."""
+    from PIL import Image
+
+    from aip_tpu.gui.pages import AdainPage
+    from aip_tpu.gui.widgets import AnimatedSurface
+
+    frames = [Image.fromarray(np.full((20, 24, 3), c, np.uint8))
+              for c in (10, 120, 240)]
+    gif = tmp_path / "orbit.gif"
+    frames[0].save(gif, save_all=True, append_images=frames[1:],
+                   duration=30, loop=0)
+
+    page = AdainPage(app.screen, app._back_to_menu)
+    app.page = page
+    page.runner.result = str(gif)
+    page._poll_result()
+    assert isinstance(page.result_surface, AnimatedSurface)
+    assert len(page.result_surface.frames) == 3
+
+    seen = set()
+    t0 = time.time()
+    while len(seen) < 3 and time.time() - t0 < 3.0:
+        seen.add(id(page.result_surface.current()))
+        app.step([])  # draw loop blits the animated surface
+        time.sleep(0.01)
+    assert len(seen) == 3, "GIF frames did not cycle"
+
+
+def test_video_result_plays_in_pane(app, tmp_path, rng):
+    """An .mp4/.avi result goes through cv2 into an AnimatedSurface
+    (draw_helpers.play_video parity, :263-308)."""
+    cv2 = pytest.importorskip("cv2")
+
+    from aip_tpu.gui.pages import VideoPage
+    from aip_tpu.gui.widgets import AnimatedSurface
+
+    path = tmp_path / "out.avi"
+    vw = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"MJPG"), 12,
+                         (32, 24))
+    for c in (0, 128, 255):
+        vw.write(np.full((24, 32, 3), c, np.uint8))
+    vw.release()
+
+    page = VideoPage(app.screen, app._back_to_menu)
+    app.page = page
+    page.runner.result = str(path)
+    page._poll_result()
+    assert isinstance(page.result_surface, AnimatedSurface)
+    assert len(page.result_surface.frames) == 3
+    app.step([])
+
+
+def test_single_frame_gif_degrades_to_surface(app, tmp_path, rng):
+    from PIL import Image
+
+    from aip_tpu.gui.widgets import animated_surface_from_file
+
+    gif = tmp_path / "one.gif"
+    Image.fromarray((rng.random((16, 16, 3)) * 255).astype(np.uint8)).save(gif)
+    surf = animated_surface_from_file(gif)
+    assert isinstance(surf, pygame.Surface)
