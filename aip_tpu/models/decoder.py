@@ -11,6 +11,8 @@ a gather), optional bfloat16 compute.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -64,11 +66,81 @@ def init_decoder_params(key: jax.Array, dtype=jnp.float32):
     return params
 
 
+def _tail_tile(h_out: int, h_in: int) -> int:
+    """Strip height for the fused tail (0 = no fit): even, divides the
+    OUTPUT height, >= 2 strips, and the input holds a th/2+2-row strip."""
+    for th in (32, 16, 8, 4, 2):
+        if h_out % th == 0 and h_out // th >= 2 and h_in >= th // 2 + 2:
+            return th
+    return 0
+
+
+def _tail_xla(compute_dtype, y, p2, p1):
+    u = upsample_nearest_2x(y)
+    z = jax.nn.relu(_conv3(reflection_pad_2d(u, 1), p2, compute_dtype))
+    return _conv3(reflection_pad_2d(z, 1), p1, compute_dtype)
+
+
+def _conv3(x, p, compute_dtype):
+    return jax.lax.conv_general_dilated(
+        x.astype(compute_dtype), p["w"].astype(compute_dtype), (1, 1),
+        "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=compute_dtype) + p["b"].astype(compute_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _tail_dispatch(compute_dtype, th, y, p2, p1):
+    from aip_tpu.ops.pallas.adain_head import (decode_tail_pallas,
+                                               pack_pair_weights)
+
+    def pallas_branch(y, p2, p1):
+        w2p = pack_pair_weights(p2["w"].astype(compute_dtype))
+        w1p = pack_pair_weights(jnp.pad(
+            p1["w"].astype(compute_dtype), ((0, 0), (0, 0), (0, 0), (0, 61))))
+        return decode_tail_pallas(
+            y, w2p, p2["b"], w1p, jnp.pad(p1["b"], (0, 61)),
+            th=th, out_dtype=compute_dtype)
+
+    return jax.lax.platform_dependent(
+        y, p2, p1, tpu=pallas_branch,
+        default=functools.partial(_tail_xla, compute_dtype))
+
+
+def _tail_fwd(compute_dtype, th, y, p2, p1):
+    return _tail_dispatch(compute_dtype, th, y, p2, p1), (y, p2, p1)
+
+
+def _tail_bwd(compute_dtype, th, res, g):
+    # AdaIN decoder TRAINING differentiates this tail — gradients
+    # recompute through the XLA layer chain (the Pallas forward is the
+    # serving path).
+    y, p2, p1 = res
+    _, vjp = jax.vjp(functools.partial(_tail_xla, compute_dtype), y, p2, p1)
+    return vjp(g.astype(compute_dtype))
+
+
+_tail_dispatch.defvjp(_tail_fwd, _tail_bwd)
+
+
 def decoder_apply(params, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
-    """Decode a [N, h, w, 512] relu4_1-space feature map to [N, 8h, 8w, 3]."""
+    """Decode a [N, h, w, 512] relu4_1-space feature map to [N, 8h, 8w, 3].
+
+    The final up2x -> conv(64->64) -> relu -> conv(64->3) tail — the
+    serving graph's second HBM plateau — runs as ONE VMEM-resident Pallas
+    program on TPU when the output shape tiles (ops/pallas/adain_head.py);
+    the upsample never materializes in HBM (it composes with the
+    reflection pad into an edge-padded 2x repeat of each DMA'd strip).
+    Reference stack: `Style_3DGS/AdaIN/net.py` decoder[23:29]."""
+    n_convs = len(conv_specs())
     ci = 0
     for layer in DECODER_LAYERS:
         kind = layer[0]
+        if kind == "up" and ci == n_convs - 2 and x.shape[-1] == 64:
+            th = _tail_tile(x.shape[1] * 2, x.shape[1])
+            if th:
+                return _tail_dispatch(compute_dtype, th,
+                                      x.astype(compute_dtype),
+                                      params[ci], params[ci + 1])
         if kind == "conv":
             # Explicit reflection pad + VALID conv — measured fastest on
             # v5e (see models/vgg.py and the BENCHMARKS.md roofline note;

@@ -20,6 +20,8 @@ a plain pytree, trivially shardable with jax.sharding.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -129,6 +131,71 @@ def vgg_encode(
     return feats[upto]
 
 
+def _head_tile(h: int) -> int:
+    """Largest even strip height dividing H with >= 2 strips (0 = no fit)."""
+    for th in (32, 16, 8, 4, 2):
+        if h % th == 0 and h // th >= 2:
+            return th
+    return 0
+
+
+def _head_xla(compute_dtype, x, p0, p1, p2):
+    h = _conv(x, p0, compute_dtype)
+    h = jax.nn.relu(_conv(reflection_pad_2d(
+        h.astype(compute_dtype), 1), p1, compute_dtype))
+    h = jax.nn.relu(_conv(reflection_pad_2d(h, 1), p2, compute_dtype))
+    return max_pool_2x2_ceil(h)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _head_dispatch(compute_dtype, th, x, p0, p1, p2):
+    from aip_tpu.ops.pallas.adain_head import (
+        encode_head_pallas, fold_rgb_conv, pack_pair_weights)
+
+    def pallas_branch(x, p0, p1, p2):
+        w_eff, b_eff = fold_rgb_conv(
+            p0["w"].astype(compute_dtype), p0["b"].astype(compute_dtype),
+            p1["w"].astype(compute_dtype), p1["b"].astype(compute_dtype))
+        xp = reflection_pad_2d(x.astype(compute_dtype), 1)
+        return encode_head_pallas(
+            xp, w_eff.reshape(27, 64), b_eff,
+            pack_pair_weights(p2["w"].astype(compute_dtype)), p2["b"],
+            th=th, out_dtype=compute_dtype)
+
+    return jax.lax.platform_dependent(
+        x, p0, p1, p2, tpu=pallas_branch,
+        default=functools.partial(_head_xla, compute_dtype))
+
+
+def _head_fwd(compute_dtype, th, x, p0, p1, p2):
+    return _head_dispatch(compute_dtype, th, x, p0, p1, p2), (x, p0, p1, p2)
+
+
+def _head_bwd(compute_dtype, th, res, g):
+    # The Pallas forward is inference-oriented; gradients (the magenta
+    # distillation path differentiates a relu4_1-only encode) recompute
+    # through the XLA layer chain.
+    x, p0, p1, p2 = res
+    _, vjp = jax.vjp(functools.partial(_head_xla, compute_dtype),
+                     x, p0, p1, p2)
+    return vjp(g.astype(compute_dtype))
+
+
+_head_dispatch.defvjp(_head_fwd, _head_bwd)
+
+
+def _encode_head_fused(params, x, compute_dtype):
+    """conv0 (1x1 RGB) .. maxpool1 through the VMEM-resident fused kernel
+    on TPU (ops/pallas/adain_head.py), the layer path elsewhere. Valid
+    only when no tap before relu2_1 is requested: relu1_1/relu1_2 never
+    materialize."""
+    th = _head_tile(x.shape[1])
+    if th == 0 or x.shape[2] % 2:
+        return _head_xla(compute_dtype, x, params[0], params[1], params[2])
+    return _head_dispatch(compute_dtype, th, x,
+                          params[0], params[1], params[2])
+
+
 def vgg_encode_with_intermediate(
     params,
     x: jax.Array,
@@ -139,6 +206,13 @@ def vgg_encode_with_intermediate(
     taps = tuple(taps)
     remaining = set(taps)
     out = {}
+    # Fused head (the serving hot path): when nothing inside the first
+    # block is tapped, run conv0..pool1 as ONE Pallas program on TPU —
+    # the four 64ch 512^2 stages are the graph's HBM plateau
+    # (BENCHMARKS.md roofline; reference stack net.py:38-92).
+    if not remaining & {"relu1_1", "relu1_2"}:
+        x = _encode_head_fused(params, x, compute_dtype)
+        return _encode_from_pool1(params, x, taps, remaining, compute_dtype)
     ci = 0
     pending_pad = False
     for layer in VGG_LAYERS:
@@ -156,6 +230,37 @@ def vgg_encode_with_intermediate(
                 pending_pad = False
             else:
                 x = _conv(x, params[ci], compute_dtype)
+            ci += 1
+        elif kind == "pad":
+            pending_pad = True
+        elif kind == "pool":
+            x = max_pool_2x2_ceil(x)
+        elif kind == "relu":
+            x = jax.nn.relu(x)
+            name = layer[1]
+            if name in remaining:
+                out[name] = x
+                remaining.discard(name)
+                if not remaining:
+                    return out
+    if remaining:
+        raise ValueError(f"unknown taps: {remaining}")
+    return out
+
+
+def _encode_from_pool1(params, x, taps, remaining, compute_dtype):
+    """Continue the encoder from the post-pool1 activation (ci=3)."""
+    out = {}
+    ci = 3
+    pending_pad = False
+    pool1_idx = VGG_LAYERS.index(("pool",))
+    for layer in VGG_LAYERS[pool1_idx + 1:]:
+        kind = layer[0]
+        if kind == "conv":
+            if pending_pad:
+                x = reflection_pad_2d(x.astype(compute_dtype), 1)
+                pending_pad = False
+            x = _conv(x, params[ci], compute_dtype)
             ci += 1
         elif kind == "pad":
             pending_pad = True
