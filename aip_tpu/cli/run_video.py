@@ -15,7 +15,38 @@ def main(argv=None):
     parser.add_argument("--offset", type=float, default=0.30)
     parser.add_argument("--prominence", type=float, default=20.0)
     parser.add_argument("--fps", type=int, default=20)
+    parser.add_argument(
+        "--fast_stylizer", nargs="?", const="docs/examples/magenta/"
+        "magenta_distilled.npz", default=None, metavar="NPZ",
+        help="Use the distilled feed-forward stylizer (the reference's "
+             "magenta fast path, video/utils.py:108-154) with a single "
+             "--style image instead of the AdaIN multi-style path. "
+             "Optional value: path to a magenta npz checkpoint.")
+    parser.add_argument("--style", type=str, default=None,
+                        help="Single style image (fast-stylizer path).")
+    parser.add_argument("--flow", type=str, default="tvl1",
+                        choices=("tvl1", "farneback", "lk"))
     args = parser.parse_args(argv)
+
+    if args.fast_stylizer:
+        from aip_tpu.models.magenta import (load_magenta_npz,
+                                            use_magenta_stylizer)
+        from aip_tpu.pipelines.video import (apply_style_transfer,
+                                             clear_frames, frames_to_video,
+                                             video_to_frames)
+
+        if args.style is None:
+            parser.error("--fast_stylizer needs --style <image>")
+        use_magenta_stylizer(load_magenta_npz(args.fast_stylizer))
+        clear_frames(args.frames_dir)
+        clear_frames(args.styled_dir)
+        video_to_frames(args.video, args.frames_dir)
+        apply_style_transfer(args.frames_dir, args.style, args.styled_dir,
+                             target_resolution=(256, 256),
+                             flow_method=args.flow)
+        out = frames_to_video(args.styled_dir, args.output, fps=args.fps)
+        print(f"Stylized video saved to {out}")
+        return out
 
     from aip_tpu.pipelines.video import run_style_transfer
 
