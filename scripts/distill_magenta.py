@@ -32,6 +32,10 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--crop", type=int, default=256)
     p.add_argument("--out", default="docs/examples/magenta")
+    p.add_argument("--resume", default=None, metavar="NPZ",
+                   help="continue distilling from a saved checkpoint "
+                        "(fresh optimizer state, same inverse-time lr)")
+    p.add_argument("--lambda_feat", type=float, default=0.1)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
 
@@ -54,9 +58,11 @@ def main():
     out.mkdir(parents=True, exist_ok=True)
 
     t0 = time.time()
+    init = M.load_magenta_npz(args.resume) if args.resume else None
     params, last_loss = train_magenta_distill(
         args.content_dir, args.style_dir, steps=args.steps,
         batch_size=args.batch, crop=args.crop,
+        lambda_feat=args.lambda_feat, params=init,
         save_path=out / "magenta_distilled.npz",
         save_every=max(1000, args.steps // 4))
     train_min = (time.time() - t0) / 60.0
