@@ -136,8 +136,10 @@ def decoder_apply(params, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
     for layer in DECODER_LAYERS:
         kind = layer[0]
         if kind == "up" and ci == n_convs - 2 and x.shape[-1] == 64:
+            from aip_tpu.models.vgg import fused_adain_enabled
+
             th = _tail_tile(x.shape[1] * 2, x.shape[1])
-            if th:
+            if th and fused_adain_enabled():
                 return _tail_dispatch(compute_dtype, th,
                                       x.astype(compute_dtype),
                                       params[ci], params[ci + 1])

@@ -184,13 +184,23 @@ def _head_bwd(compute_dtype, th, res, g):
 _head_dispatch.defvjp(_head_fwd, _head_bwd)
 
 
+def fused_adain_enabled() -> bool:
+    """Gate for the fused serving kernels (AIP_FUSED_ADAIN=0/1).
+
+    Read at trace time so a mid-process flip needs a fresh jit cache.
+    """
+    import os
+
+    return os.environ.get("AIP_FUSED_ADAIN", "1") != "0"
+
+
 def _encode_head_fused(params, x, compute_dtype):
     """conv0 (1x1 RGB) .. maxpool1 through the VMEM-resident fused kernel
     on TPU (ops/pallas/adain_head.py), the layer path elsewhere. Valid
     only when no tap before relu2_1 is requested: relu1_1/relu1_2 never
     materialize."""
     th = _head_tile(x.shape[1])
-    if th == 0 or x.shape[2] % 2:
+    if th == 0 or x.shape[2] % 2 or not fused_adain_enabled():
         return _head_xla(compute_dtype, x, params[0], params[1], params[2])
     return _head_dispatch(compute_dtype, th, x,
                           params[0], params[1], params[2])

@@ -39,12 +39,18 @@ pytestmark = pytest.mark.skipif(
 
 
 def _stub_module(name, **attrs):
-    if name in sys.modules:
-        return
-    m = types.ModuleType(name)
+    """Create (or EXTEND) a stub module: another test file may already
+    have installed a partial stub under the same name — e.g.
+    test_reference_oracle.py's torchvision stub has transforms/utils but
+    not `models` — so missing attributes are added rather than the whole
+    module skipped (order-dependence otherwise)."""
+    m = sys.modules.get(name)
+    if m is None:
+        m = types.ModuleType(name)
+        sys.modules[name] = m
     for k, v in attrs.items():
-        setattr(m, k, v)
-    sys.modules[name] = m
+        if not hasattr(m, k):
+            setattr(m, k, v)
 
 
 def _load(name, path):
