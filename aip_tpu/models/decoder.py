@@ -69,7 +69,8 @@ def init_decoder_params(key: jax.Array, dtype=jnp.float32):
 def _tail_tile(h_out: int, h_in: int) -> int:
     """Strip height for the fused tail (0 = no fit): even, divides the
     OUTPUT height, >= 2 strips, and the input holds a th/2+2-row strip."""
-    for th in (32, 16, 8, 4, 2):
+    # 8 first: 16 already exceeds the kernel's VMEM frame at 512^2.
+    for th in (8, 4, 16, 2, 32):
         if h_out % th == 0 and h_out // th >= 2 and h_in >= th // 2 + 2:
             return th
     return 0

@@ -132,8 +132,9 @@ def vgg_encode(
 
 
 def _head_tile(h: int) -> int:
-    """Largest even strip height dividing H with >= 2 strips (0 = no fit)."""
-    for th in (32, 16, 8, 4, 2):
+    """Strip height dividing H with >= 2 strips (0 = no fit). 8 first:
+    16 already exceeds the kernel's VMEM frame at 512^2 batch shapes."""
+    for th in (8, 4, 16, 2, 32):
         if h % th == 0 and h // th >= 2:
             return th
     return 0
@@ -158,7 +159,7 @@ def _head_dispatch(compute_dtype, th, x, p0, p1, p2):
             p1["w"].astype(compute_dtype), p1["b"].astype(compute_dtype))
         xp = reflection_pad_2d(x.astype(compute_dtype), 1)
         return encode_head_pallas(
-            xp, w_eff.reshape(27, 64), b_eff,
+            xp, w_eff.transpose(1, 0, 2, 3).reshape(3, 9, 64), b_eff,
             pack_pair_weights(p2["w"].astype(compute_dtype)), p2["b"],
             th=th, out_dtype=compute_dtype)
 

@@ -51,14 +51,20 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Tap pairing for the 64->64 convs: 4 pairs + the zero-padded single.
-_PAIRS = (((0, 0), (0, 1)), ((0, 2), (1, 0)), ((1, 1), (1, 2)),
-          ((2, 0), (2, 1)), ((2, 2), None))
+# Tap pairing for the 64->64 convs. Pairs must share the COLUMN shift
+# (dx): Mosaic's lane-concat requires all inputs at the same sublane
+# offset, and a slice x[_, dx:dx+W, :] carries sublane offset dx. So
+# each of the 3 columns contributes one (dy=0, dy=1) pair and one dy=2
+# single (zero-padded second half) — 6 dots instead of the offset-mixing
+# 5.
+_PAIRS = (((0, 0), (1, 0)), ((2, 0), None),
+          ((0, 1), (1, 1)), ((2, 1), None),
+          ((0, 2), (1, 2)), ((2, 2), None))
 
 
 def pack_pair_weights(w: jax.Array) -> jax.Array:
-    """[3, 3, 64, Cout] conv weights -> [5, 128, Cout] stacked tap pairs
-    (second half of the last slot zeroed)."""
+    """[3, 3, 64, Cout] conv weights -> [6, 128, Cout] stacked tap pairs
+    (second half of single-tap slots zeroed)."""
     k1, k2, cin, cout = w.shape
     assert (k1, k2) == (3, 3)
     slots = []
@@ -98,19 +104,42 @@ def _col_reflect(x):
     return jnp.concatenate([x[:, 1:2], x, x[:, -2:-1]], axis=1)
 
 
-def _enc_kernel(xp_ref, w1_ref, b1_ref, w2p_ref, b2_ref, out_ref, *,
+def _strips(x, nj, rows, step, max_start):
+    """[B, H, ...] -> [B, nj, rows, ...]: overlapping row strips, start
+    clip(j*step - 1, 0, max_start). Host-side (one XLA gather) because
+    in-kernel strip windows can neither overlap (BlockSpec) nor be DMA'd
+    (lane extents must be 128-multiples)."""
+    starts = np.clip(np.arange(nj) * step - 1, 0, max_start)
+    idx = starts[:, None] + np.arange(rows)[None, :]
+    return x[:, idx]
+
+
+def _enc_kernel(xs_ref, w1_ref, b1_ref, w2p_ref, b2_ref, out_ref, *,
                 th, h, w, out_dtype):
+    # xs_ref block: this strip's (clamped) [th+4, W+2, 3] input rows —
+    # pre-cut host-side (``_strips``) so windows never overlap. A
+    # whole-image window would allocate (H+2) x (W+2) x 128 padded lanes
+    # in VMEM (~130 MB at 512^2: the 3-lane dim pads to a full tile),
+    # and Mosaic DMA requires 128-multiple lane extents, so neither a
+    # big window nor a manual strip copy works for a 3-channel input.
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     wdt = w1_ref.dtype
 
     def conv1(xs, n1):
-        """xs [n1+2, W+2, 3] padded rows -> relu(conv 3->64) [n1, W, 64]."""
-        ic = jnp.concatenate(
-            [xs[dy:dy + n1, dx:dx + w, :] for dy in range(3)
-             for dx in range(3)], axis=-1)            # [n1, W, 27]
-        y = jnp.dot(ic.reshape(n1 * w, 27).astype(wdt), w1_ref[...],
-                    preferred_element_type=jnp.float32)
+        """xs [n1+2, W+2, 3] padded rows -> relu(conv 3->64) [n1, W, 64].
+
+        dx-grouped im2col: the lane-concat only mixes dy shifts (dim-0,
+        untiled), keeping every input at sublane offset dx — one
+        [M, 9] @ [9, 64] dot per column."""
+        y = None
+        for dx in range(3):
+            ic = jnp.concatenate(
+                [xs[dy:dy + n1, dx:dx + w, :] for dy in range(3)],
+                axis=-1)                              # [n1, W, 9]
+            d = jnp.dot(ic.reshape(n1 * w, 9).astype(wdt), w1_ref[dx],
+                        preferred_element_type=jnp.float32)
+            y = d if y is None else y + d
         return jax.nn.relu(y.reshape(n1, w, 64) + b1_ref[...]).astype(wdt)
 
     def tail(x1e):
@@ -122,20 +151,19 @@ def _enc_kernel(xp_ref, w1_ref, b1_ref, w2p_ref, b2_ref, out_ref, *,
 
     @pl.when(j == 0)
     def _top():
-        xs = xp_ref[0, 0:th + 3]                      # x1 rows [0, th+1)
+        xs = xs_ref[0, 0, 0:th + 3]                   # x1 rows [0, th+1)
         x1 = conv1(xs, th + 1)
         x1e = jnp.concatenate([x1[1:2], x1], axis=0)  # reflect row -1 -> 1
         tail(_col_reflect(x1e))
 
     @pl.when(jnp.logical_and(j > 0, j < nj - 1))
     def _interior():
-        r0 = j * th
-        xs = xp_ref[0, pl.ds(r0 - 1, th + 4)]         # x1 rows [r0-1, r0+th+1)
-        tail(_col_reflect(conv1(xs, th + 2)))
+        # strip rows = xp rows [r0-1, r0+th+3) -> x1 rows [r0-1, r0+th+1)
+        tail(_col_reflect(conv1(xs_ref[0, 0], th + 2)))
 
     @pl.when(jnp.logical_and(j == nj - 1, nj > 1))
     def _bottom():
-        xs = xp_ref[0, h - th - 1:h + 2]              # x1 rows [H-th-1, H)
+        xs = xs_ref[0, 0, 1:th + 4]                   # x1 rows [H-th-1, H)
         x1 = conv1(xs, th + 1)
         x1e = jnp.concatenate([x1, x1[-2:-1]], axis=0)
         tail(_col_reflect(x1e))
@@ -150,8 +178,9 @@ def encode_head_pallas(xp: jax.Array, w1_ic: jax.Array, b1: jax.Array,
 
     xp: [B, H+2, W+2, 3] reflect-padded input (pad 1, any float dtype —
         cast to w1_ic.dtype inside);
-    w1_ic: [27, 64] im2col (dy, dx, ci) 3->64 weights (RGB conv folded);
-    w2p: [5, 128, 64] pair-packed 64->64 weights;
+    w1_ic: [3, 9, 64] dx-grouped im2col (dx; dy, ci) 3->64 weights (RGB
+        conv folded);
+    w2p: [6, 128, 64] pair-packed 64->64 weights;
     returns [B, H//2, W//2, 64] pooled relu1_2 in ``out_dtype``.
     """
     b_, hp, wp, _ = xp.shape
@@ -160,46 +189,51 @@ def encode_head_pallas(xp: jax.Array, w1_ic: jax.Array, b1: jax.Array,
         h, w, th)
     nj = h // th
     f32 = jnp.float32
+    xs = _strips(xp, nj, th + 4, th, h - th - 2)
     return pl.pallas_call(
         functools.partial(_enc_kernel, th=th, h=h, w=w, out_dtype=out_dtype),
         out_shape=jax.ShapeDtypeStruct((b_, h // 2, w // 2, 64), out_dtype),
         grid=(b_, nj),
         in_specs=[
-            pl.BlockSpec((1, hp, wp, 3), lambda b, j: (b, 0, 0, 0)),
-            pl.BlockSpec((27, 64), lambda b, j: (0, 0)),
+            pl.BlockSpec((1, 1, th + 4, wp, 3),
+                         lambda b, j: (b, j, 0, 0, 0)),
+            pl.BlockSpec((3, 9, 64), lambda b, j: (0, 0, 0)),
             pl.BlockSpec((64,), lambda b, j: (0,)),
-            pl.BlockSpec((5, 128, 64), lambda b, j: (0, 0, 0)),
+            pl.BlockSpec((6, 128, 64), lambda b, j: (0, 0, 0)),
             pl.BlockSpec((64,), lambda b, j: (0,)),
         ],
         out_specs=pl.BlockSpec((1, th // 2, w // 2, 64),
                                lambda b, j: (b, j, 0, 0)),
         interpret=interpret,
-    )(xp, w1_ic, b1.astype(f32), w2p, b2.astype(f32))
+    )(xs.astype(w1_ic.dtype), w1_ic, b1.astype(f32), w2p, b2.astype(f32))
 
 
-def _dec_kernel(y_hbm, w2p_ref, b2_ref, w1p_ref, b1_ref, out_ref,
-                y_s, sem, *, th, h, w, out_dtype):
-    # program_id must be read OUTSIDE the pl.when closures: the branch
-    # body lowers as a plain JAX function in interpret mode, where the
-    # primitive has no lowering rule.
-    bi = pl.program_id(0)
+def _dec_kernel(y_ref, w2p_ref, b2_ref, w1p_ref, b1_ref, out_ref, *,
+                th, h, w, out_dtype):
+    # y_ref block: this strip's (clamped) [ty+2, Wy, 64] feature rows,
+    # pre-cut host-side (_strips) — see _enc_kernel on why neither big
+    # windows nor DMA fit.
     j = pl.program_id(1)
     nj = pl.num_programs(1)
     hy, wy = h // 2, w // 2
     ty = th // 2
     wdt = w2p_ref.dtype
 
-    def load(start):
-        cp = pltpu.make_async_copy(
-            y_hbm.at[bi, pl.ds(start, ty + 2)], y_s, sem)
-        cp.start()
-        cp.wait()
-
-    def up2x(y):
-        """[R, Wy, 64] -> [2R, W, 64] nearest."""
-        r = y.shape[0]
-        return jnp.broadcast_to(
-            y[:, None, :, None, :], (r, 2, wy, 2, 64)).reshape(2 * r, w, 64)
+    def up2x(y5):
+        """[1, 1, R, Wy, 64] block value -> [2R, W, 64] nearest.
+        Interleave via concat + reshape: the broadcast_to form is an
+        unsupported Mosaic shape cast. Works on the un-squeezed 5-D
+        block value: squeezing first fuses with the unit-dim insert
+        into a (1,1,R,Wy,64)->(R,Wy,1,64) cast Mosaic rejects, while
+        the pure leading-dim squeeze after the column merge is fine."""
+        r = y5.shape[2]
+        # f32 for the unit-dim insert: the (16,128)-packed bf16 layout
+        # cannot express the (.., Wy, 64) -> (.., Wy, 1, 64) cast.
+        y = y5.reshape(r, wy, 64).astype(jnp.float32)
+        u = jnp.concatenate([y[:, :, None, :], y[:, :, None, :]], axis=2)
+        u = u.reshape(r, w, 64)
+        u = jnp.concatenate([u[None], u[None]], axis=0)
+        return u.transpose(1, 0, 2, 3).reshape(2 * r, w, 64).astype(wdt)
 
     def edge_cols(u):
         return jnp.concatenate([u[:, 0:1], u, u[:, -1:]], axis=1)
@@ -217,28 +251,23 @@ def _dec_kernel(y_hbm, w2p_ref, b2_ref, w1p_ref, b1_ref, out_ref,
 
     @pl.when(j == 0)
     def _top():
-        load(0)
-        y = y_s[0:ty + 1]
         # u_ext rows for z rows [0, th+1): k=0 -> y0 (edge), then repeat.
-        u = up2x(y)                                   # rows [0, th+2)
+        u = up2x(y_ref[:, :, 0:ty + 1])               # rows [0, th+2)
         u_ext = edge_cols(jnp.concatenate([u[0:1], u], axis=0))
         z = conv2(u_ext, th + 1)
         tail(_col_reflect(jnp.concatenate([z[1:2], z], axis=0)))
 
     @pl.when(jnp.logical_and(j > 0, j < nj - 1))
     def _interior():
-        r0 = j * th
-        load(r0 // 2 - 1)
         # z rows [r0-1, r0+th+1) need u_ext rows [r0-1, r0+th+3), which is
         # exactly the 2x repeat of y rows [r0/2-1, r0/2+th/2+1).
-        u_ext = edge_cols(up2x(y_s[...]))
+        u_ext = edge_cols(up2x(y_ref[...]))
         tail(_col_reflect(conv2(u_ext, th + 2)))
 
     @pl.when(jnp.logical_and(j == nj - 1, nj > 1))
     def _bottom():
-        load(hy - ty - 2)                             # y rows [hy-ty-1, hy)
-        y = y_s[1:ty + 2]
-        u = up2x(y)                                   # rows [h-th-2, h)
+        u = up2x(y_ref[:, :, 1:ty + 2])               # y rows [hy-ty-1, hy)
+        # u rows [h-th-2, h)
         u_ext = edge_cols(jnp.concatenate([u, u[-1:]], axis=0))
         z = conv2(u_ext, th + 1)                      # z rows [h-th-1, h)
         tail(_col_reflect(jnp.concatenate([z, z[-2:-1]], axis=0)))
@@ -252,7 +281,7 @@ def decode_tail_pallas(y: jax.Array, w2p: jax.Array, b2: jax.Array,
     """Fused decoder tail.
 
     y: [B, H/2, W/2, 64] post-ReLU feature map (cast to w2p.dtype);
-    w2p / w1p: [5, 128, 64] pair-packed weights (w1p's output channels
+    w2p / w1p: [6, 128, 64] pair-packed weights (w1p's output channels
         zero-padded 3 -> 64); b1: [64] with the true bias in [:3];
     returns [B, H, W, 3] in ``out_dtype``.
     """
@@ -262,22 +291,21 @@ def decode_tail_pallas(y: jax.Array, w2p: jax.Array, b2: jax.Array,
     assert h % th == 0 and th % 2 == 0 and h // th >= 2, (h, th)
     assert hy >= th // 2 + 2, (hy, th)
     nj = h // th
+    ty = th // 2
     f32 = jnp.float32
+    ys = _strips(y.astype(w2p.dtype), nj, ty + 2, ty, hy - ty - 2)
     return pl.pallas_call(
         functools.partial(_dec_kernel, th=th, h=h, w=w, out_dtype=out_dtype),
         out_shape=jax.ShapeDtypeStruct((b_, h, w, 3), out_dtype),
         grid=(b_, nj),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((5, 128, 64), lambda b, j: (0, 0, 0)),
+            pl.BlockSpec((1, 1, ty + 2, wy, 64),
+                         lambda b, j: (b, j, 0, 0, 0)),
+            pl.BlockSpec((6, 128, 64), lambda b, j: (0, 0, 0)),
             pl.BlockSpec((64,), lambda b, j: (0,)),
-            pl.BlockSpec((5, 128, 64), lambda b, j: (0, 0, 0)),
+            pl.BlockSpec((6, 128, 64), lambda b, j: (0, 0, 0)),
             pl.BlockSpec((64,), lambda b, j: (0,)),
         ],
         out_specs=pl.BlockSpec((1, th, w, 3), lambda b, j: (b, j, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((th // 2 + 2, wy, 64), w2p.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
-    )(y.astype(w2p.dtype), w2p, b2.astype(f32), w1p, b1.astype(f32))
+    )(ys, w2p, b2.astype(f32), w1p, b1.astype(f32))

@@ -47,8 +47,8 @@ def test_encode_head_kernel_matches_layers(rng, enc_weights, hw, th):
 
     we, be = fold_rgb_conv(w0, b0, w1, b1)
     out = encode_head_pallas(
-        reflection_pad_2d(x, 1), we.reshape(27, 64), be,
-        pack_pair_weights(w2), b2, th=th, out_dtype=jnp.float32,
+        reflection_pad_2d(x, 1), we.transpose(1, 0, 2, 3).reshape(3, 9, 64),
+        be, pack_pair_weights(w2), b2, th=th, out_dtype=jnp.float32,
         interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
