@@ -104,18 +104,13 @@ def main():
 
     images_per_s = batch * chain / best
 
-    # MFU: analytic FLOPs for the compiled stylize graph (XLA cost
-    # analysis; falls back to a hand-derived VGG+decoder conv count) over
-    # the v5e bf16 peak (197 TFLOP/s).
+    # MFU: hand-derived conv FLOPs of the stylize graph over the v5e bf16
+    # peak (197 TFLOP/s). Always analytic — XLA cost analysis undercounts
+    # once the head/tail convs run inside Pallas custom calls (r5 fused
+    # kernels report 0 flops to it), and the analytic count is what every
+    # prior round's MFU used.
     peak_flops = 197e12
     flops = None
-    try:
-        cost = jax.jit(fn).lower(content).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) or None
-    except Exception:
-        flops = None
     if not flops:
         # Conv MACs for encoder (3->relu4_1) + decoder mirror at 512px.
         enc = [(3, 3, 1), (3, 64, 1), (64, 64, 1), (64, 128, 2),
