@@ -136,7 +136,8 @@ def decoder_apply(params, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
     ci = 0
     for layer in DECODER_LAYERS:
         kind = layer[0]
-        if kind == "up" and ci == n_convs - 2 and x.shape[-1] == 64:
+        if (kind == "up" and ci == n_convs - 2 and x.shape[-1] == 64
+                and compute_dtype == jnp.bfloat16):  # see vgg dtype gate
             from aip_tpu.models.vgg import fused_adain_enabled
 
             th = _tail_tile(x.shape[1] * 2, x.shape[1])

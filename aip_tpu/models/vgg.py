@@ -201,7 +201,11 @@ def _encode_head_fused(params, x, compute_dtype):
     only when no tap before relu2_1 is requested: relu1_1/relu1_2 never
     materialize."""
     th = _head_tile(x.shape[1])
-    if th == 0 or x.shape[2] % 2 or not fused_adain_enabled():
+    # bf16-only: the serving hot path; in f32 the kernel's VMEM frame
+    # overflows at wide shapes (measured 27.5M vs the 16M scoped limit
+    # on a 646-wide style encode).
+    if (th == 0 or x.shape[2] % 2 or compute_dtype != jnp.bfloat16
+            or not fused_adain_enabled()):
         return _head_xla(compute_dtype, x, params[0], params[1], params[2])
     return _head_dispatch(compute_dtype, th, x,
                           params[0], params[1], params[2])

@@ -142,13 +142,17 @@ def test_fused_paths_differentiate(rng):
     x = jnp.asarray(rng.random((1, 32, 32, 3)).astype(np.float32))
     f = jnp.asarray(rng.random((1, 4, 4, 512)).astype(np.float32) * 0.1)
 
+    # bf16: the fused dispatch (and its custom VJP) only engages for the
+    # bf16 serving dtype; f32 keeps the plain layer path.
     g_enc = jax.grad(
-        lambda img: jnp.sum(vgg_encode(vp, img, "relu4_1", jnp.float32) ** 2)
-    )(x)
+        lambda img: jnp.sum(
+            vgg_encode(vp, img, "relu4_1", jnp.bfloat16).astype(jnp.float32)
+            ** 2))(x)
     assert np.isfinite(np.asarray(g_enc)).all()
     assert float(jnp.abs(g_enc).max()) > 0
 
-    loss = lambda p: jnp.sum(decoder_apply(p, f, jnp.float32) ** 2)
+    loss = lambda p: jnp.sum(
+        decoder_apply(p, f, jnp.bfloat16).astype(jnp.float32) ** 2)
     g_dec = jax.grad(loss)(dp)
     flat = jax.tree.leaves(g_dec)
     assert all(np.isfinite(np.asarray(l)).all() for l in flat)
