@@ -80,7 +80,7 @@ def main():
         a = jnp.asarray(np.asarray(Image.open(t_dir / name), np.float32) / 255)
         b = jnp.asarray(np.asarray(Image.open(s_dir / name), np.float32) / 255)
         ssims.append(float(ssim(a[None], b[None])))
-        psnrs.append(float(psnr(a, b)))
+        psnrs.append(float(jnp.mean(psnr(a[None], b[None]))))
     res = {
         "frames": n,
         "teacher_s": round(t_teacher, 1),
