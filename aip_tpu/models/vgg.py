@@ -186,13 +186,21 @@ _head_dispatch.defvjp(_head_fwd, _head_bwd)
 
 
 def fused_adain_enabled() -> bool:
-    """Gate for the fused serving kernels (AIP_FUSED_ADAIN=0/1).
+    """Gate for the fused serving kernels (AIP_FUSED_ADAIN=1 opts in).
 
-    Read at trace time so a mid-process flip needs a fresh jit cache.
+    Default OFF: the r5 on-chip A/B measured the VMEM-resident fused
+    chains SLOWER than the XLA layer path (enc head 31.9 vs 27.8 ms,
+    dec tail 40.1 vs 35.1 ms at batch 32 / 512^2 bf16; serving graph
+    268 vs 305 img/s) — the padded 3/64-lane window fetches, Mosaic
+    relayouts and halo recompute cost more than the HBM round trips
+    they eliminate. Kernels stay (oracle-tested, Mosaic-validated) as
+    the documented negative result; see BENCHMARKS.md "Fused AdaIN
+    head/tail kernels (r5)". Read at trace time — a mid-process flip
+    needs a fresh jit cache.
     """
     import os
 
-    return os.environ.get("AIP_FUSED_ADAIN", "1") != "0"
+    return os.environ.get("AIP_FUSED_ADAIN", "0") != "0"
 
 
 def _encode_head_fused(params, x, compute_dtype):
