@@ -106,21 +106,23 @@ def main():
              jnp.float32(math.tan(c.FoVy * 0.5)))
             for c in cams]
 
-        def frame(cam):
-            return fn(*staged[cams.index(cam)])
+        # index-based: Camera dataclass __eq__ compares array fields
+        # elementwise, so list.index() raises on ambiguous truth values
+        def frame(ci):
+            return fn(*staged[ci])
     else:
-        def frame(cam):
-            return render(cam, state, field, bg, style_f=style_f,
+        def frame(ci):
+            return render(cams[ci], state, field, bg, style_f=style_f,
                           mode="inference", settings=settings,
                           precomputed_enc=enc, renderer=args.renderer).render
 
-    for cam in cams:  # compile + warm every pose
-        sync(frame(cam))
+    for ci in range(len(cams)):  # compile + warm every pose
+        sync(frame(ci))
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for i in range(args.reps):
-            img = frame(cams[i % len(cams)])
+            img = frame(i % len(cams))
         sync(img)
         best = min(best, (time.perf_counter() - t0) / args.reps)
     print(json.dumps({
