@@ -810,3 +810,65 @@ def test_train_loop_gaussian_shard_requires_mesh(tmp_path, rng, monkeypatch,
     with pytest.raises(ValueError, match="requires a mesh"):
         train(scene, style_img, _tiny_cfg(), img_size=32,
               guide_dir=str(tmp_path / "g"), gaussian_shard=True)
+
+
+def test_view_chunk_budget_charges_selection_buffers():
+    """The ~1GB vchunk bound must charge the pair-sort emission and the
+    phase-2 [MB, Kc, m^2] refinement, not just the dense composite
+    intermediates — the r4 B=8 kc=2048/K=192 real-scene config sized
+    only the latter, picked vchunk=2 and RESOURCE_EXHAUSTED on-chip
+    (BENCHMARKS.md "Known issue", fixed r5: runs at vchunk=1)."""
+    from aip_tpu.gs.train import (GSTrainConfig, _per_view_bytes,
+                                  make_settings_from_dims)
+
+    def vchunk_for(cfg, n_views=8, res=800):
+        s = make_settings_from_dims(res, res, cfg, views=n_views)
+        pv = _per_view_bytes(res, res, cfg, s)
+        v = n_views
+        while v > 1 and (n_views % v or v * pv > (1 << 30)):
+            v -= 1
+        return v, pv
+
+    v_oom, pv_oom = vchunk_for(
+        GSTrainConfig(max_per_tile=192, macro_capacity=2048, dup_span=3))
+    v_def, pv_def = vchunk_for(GSTrainConfig())
+    # selection must be a real charge (more than the composite alone)
+    n_tiles = 50 * 50
+    assert pv_oom > n_tiles * 192 * 256 * 4
+    assert v_oom == 1, (v_oom, pv_oom)       # formerly-OOMing config chunks
+    assert v_def == 2, (v_def, pv_def)       # known-good config unchanged
+
+
+def test_pairsort_slots_matches_emission():
+    """_pairsort_slots (the static seg/windowed dispatch + memory model)
+    must equal the actual emission count for both giant backends (the
+    in-kernel assert enforces it at runtime; this pins it at test time
+    across configs)."""
+    import math
+
+    import jax.numpy as jnp
+
+    from aip_tpu.gs.rasterizer import (RasterSettings, _pairsort_slots,
+                                       select_macro_pairsort)
+
+    rng = np.random.default_rng(3)
+    n = 300
+    mean2d = jnp.asarray(rng.random((n, 2)).astype(np.float32) * 120)
+    depths = jnp.asarray(rng.random(n).astype(np.float32) + 0.1)
+    radii = jnp.asarray((rng.random(n) * 30).astype(np.float32))
+    valid = jnp.ones(n, bool)
+    for s in (
+        RasterSettings(96, 128, max_per_tile=32, chunk=64, macro=2,
+                       macro_capacity=64, dup_span=2,
+                       giant_backend="direct", giant_tiers=((3, 16),),
+                       giant_pool_full=8, giant_capacity=64),
+        RasterSettings(96, 128, max_per_tile=32, chunk=64, macro=2,
+                       macro_capacity=64, dup_span=2,
+                       giant_backend="merge", giant_capacity=16,
+                       giant_pool=32),
+    ):
+        mth = math.ceil(math.ceil(96 / 16) / 2)
+        mtw = math.ceil(math.ceil(128 / 16) / 2)
+        gid_s, starts, counts = select_macro_pairsort(
+            mean2d, depths, radii, valid, mth, mtw, s, segments=True)
+        assert gid_s.shape[0] == _pairsort_slots(n, s, mth, mtw)
