@@ -33,8 +33,12 @@ def main():
     p.add_argument("--crop", type=int, default=256)
     p.add_argument("--out", default="docs/examples/magenta")
     p.add_argument("--resume", default=None, metavar="NPZ",
-                   help="continue distilling from a saved checkpoint "
-                        "(fresh optimizer state, same inverse-time lr)")
+                   help="continue distilling from a saved checkpoint. "
+                        "CAVEAT (BENCHMARKS.md): the optimizer state is "
+                        "fresh and the inverse-time lr restarts from "
+                        "step 0 — measured to REGRESS a converged "
+                        "student (20.76 -> 19.38 dB after +2k steps); "
+                        "use for coarse checkpoints, not fine-tuning")
     p.add_argument("--lambda_feat", type=float, default=0.1)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
