@@ -72,8 +72,12 @@ def test_decode_tail_kernel_matches_layers(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
-def test_vgg_encode_dispatch_matches_layer_path(rng):
-    """vgg_encode (fused-head dispatch) == the raw layer walk on CPU."""
+def test_vgg_encode_dispatch_matches_layer_path(rng, monkeypatch):
+    """vgg_encode (fused-head dispatch) == the raw layer walk on CPU.
+    The gate defaults OFF (measured slower on-chip); force it ON so the
+    dispatch path (platform_dependent default branch + custom VJP
+    wrapper) stays covered."""
+    monkeypatch.setenv("AIP_FUSED_ADAIN", "1")
     from aip_tpu.models.vgg import (VGG_LAYERS, _conv as vgg_conv,
                                     init_vgg_params, vgg_encode)
     from aip_tpu.ops.image import reflection_pad_2d as rp
@@ -103,9 +107,16 @@ def test_vgg_encode_dispatch_matches_layer_path(rng):
     out = vgg_encode(params, x, "relu4_1", jnp.float32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+    # bf16 engages the dispatch wrapper; compare against the f32 walk
+    # at bf16 tolerance.
+    out_bf = vgg_encode(params, x, "relu4_1", jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(out_bf, np.float32), np.asarray(ref),
+        atol=0.15, rtol=0.1)
 
 
-def test_decoder_dispatch_matches_layer_path(rng):
+def test_decoder_dispatch_matches_layer_path(rng, monkeypatch):
+    monkeypatch.setenv("AIP_FUSED_ADAIN", "1")
     from aip_tpu.models.decoder import (DECODER_LAYERS, decoder_apply,
                                         init_decoder_params)
 
@@ -130,10 +141,12 @@ def test_decoder_dispatch_matches_layer_path(rng):
                                atol=1e-5, rtol=1e-5)
 
 
-def test_fused_paths_differentiate(rng):
+def test_fused_paths_differentiate(rng, monkeypatch):
     """The custom VJPs (XLA-recompute backward) must match the layer
     path's gradients — the distillation/decoder-training paths rely on
-    them."""
+    them. Gate forced ON (defaults off) so the VJP wrapper is what
+    differentiates."""
+    monkeypatch.setenv("AIP_FUSED_ADAIN", "1")
     from aip_tpu.models.decoder import decoder_apply, init_decoder_params
     from aip_tpu.models.vgg import init_vgg_params, vgg_encode
 
