@@ -1,6 +1,7 @@
 """Video pipeline tests: IO round-trip, temporal blend recurrence, end-to-end."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -104,3 +105,44 @@ def test_video_sharded_over_mesh(tmp_path, rng, monkeypatch):
     for p in outs:
         img = np.asarray(Image.open(p))
         assert img.shape == (32, 32, 3)
+
+
+def test_run_video_cli_fast_stylizer(tmp_path, rng, monkeypatch):
+    """`run_video --fast_stylizer NPZ --style img` drives the reference's
+    default video vertical (magenta single-style, video/utils.py:108-154)
+    end-to-end: loads the distilled checkpoint, registers the fast
+    stylizer, stylizes every frame and writes the output mp4."""
+    cv2 = pytest.importorskip("cv2")
+    from PIL import Image
+
+    from aip_tpu.cli import run_video
+    from aip_tpu.models import magenta as M
+    from aip_tpu.pipelines import video as video_mod
+
+    # tiny checkpoint (random init, compact trunk) + tiny video + style
+    params = M.init_magenta_params(jax.random.PRNGKey(0))
+    npz = tmp_path / "student.npz"
+    M.save_magenta_npz(params, npz)
+
+    vid = tmp_path / "in.mp4"
+    writer = cv2.VideoWriter(str(vid), cv2.VideoWriter_fourcc(*"mp4v"),
+                             5, (48, 32))
+    base = (rng.random((32, 48, 3)) * 255).astype(np.uint8)
+    for i in range(4):
+        writer.write(np.roll(base, i * 2, axis=1))
+    writer.release()
+    style = tmp_path / "style.jpg"
+    Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(style)
+
+    out = run_video.main([
+        "--fast_stylizer", str(npz), "--style", str(style),
+        "--video", str(vid), "--output", str(tmp_path / "out.mp4"),
+        "--frames_dir", str(tmp_path / "cf"),
+        "--styled_dir", str(tmp_path / "sf"),
+        "--flow", "farneback", "--fps", "5",
+    ])
+    assert (tmp_path / "out.mp4").stat().st_size > 0
+    assert len(list((tmp_path / "sf").glob("*.jpg"))) == 4
+    # the hook really was the magenta student
+    assert video_mod._FAST_STYLIZE is not None
+    video_mod.register_fast_stylizer(None)  # reset for other tests
